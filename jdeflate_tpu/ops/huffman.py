@@ -1,0 +1,180 @@
+"""Huffman code-length construction and canonical code assignment in JAX.
+
+Reference behavior reproduced (never translated): the deflator builds
+minimum-redundancy code lengths with heapsort + in-place Moffat-Katajainen
+(src/deflator.c:933-1081), limits lengths to 15/7 bits via Kraft-sum repair
+(src/deflator.c:991-1028), forces degenerate trees to >=2 symbols
+(src/deflator.c:1138-1178), and assigns canonical codes by prefix-summing
+counts-per-length then bit-reversing for the LSB-first stream
+(src/deflator.c:1188-1285).
+
+TPU-first design: frequencies are sorted once (XLA sort), the Huffman tree is
+built by the two-queue merge method as a `lax.scan` of n-1 tiny steps whose
+body is fully vectorized when vmapped across blocks, leaf depths come from a
+reverse scan over parent pointers, and the 15-bit limit uses the standard
+histogram overflow repair (a bounded while_loop). Everything is
+`jax.vmap`-able over a batch of blocks — one batch = one device program.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.int32(0x3FFFFFFF)
+
+
+def code_lengths(freqs: jnp.ndarray, max_bits: int) -> jnp.ndarray:
+    """Optimal length-limited code lengths for one frequency table.
+
+    freqs: (n,) int32 symbol frequencies. Returns (n,) int32 lengths in
+    [0, max_bits]; zero-frequency symbols get length 0. If fewer than two
+    symbols are used, the used symbol (if any) gets length 1 (the caller
+    decides whether that incomplete code is legal — it is for DEFLATE
+    distance trees, cf. inflator.c:454-474).
+    vmap over blocks for batched use.
+    """
+    n = freqs.shape[0]
+    f = freqs.astype(jnp.int32)
+    used = (f > 0).astype(jnp.int32)
+    m = jnp.sum(used)
+
+    key = jnp.where(f > 0, f, _INF)
+    order = jnp.argsort(key, stable=True)          # used symbols first, freq asc
+    wleaf = jnp.concatenate([key[order], jnp.full((1,), _INF, jnp.int32)])
+
+    # Two-queue merge: n-1 steps; node weights are produced in increasing
+    # order so the "queue" of internal nodes is just a cursor.
+    def step(carry, t):
+        li, ni, node_w, leaf_par, node_par = carry
+        valid = t < m - 1
+
+        def pick(li, ni, node_w, leaf_par, node_par):
+            lw = wleaf[li]
+            nw = node_w[ni]
+            take_leaf = lw <= nw
+            w = jnp.where(take_leaf, lw, nw)
+            leaf_par = jnp.where(take_leaf, leaf_par.at[li].set(t), leaf_par)
+            node_par = jnp.where(take_leaf, node_par, node_par.at[ni].set(t))
+            li = li + jnp.where(take_leaf, 1, 0)
+            ni = ni + jnp.where(take_leaf, 0, 1)
+            return li, ni, leaf_par, node_par, w
+
+        li2, ni2, lp2, np2, w1 = pick(li, ni, node_w, leaf_par, node_par)
+        li3, ni3, lp3, np3, w2 = pick(li2, ni2, node_w, lp2, np2)
+        node_w2 = node_w.at[t].set(jnp.minimum(w1 + w2, _INF))
+
+        li = jnp.where(valid, li3, li)
+        ni = jnp.where(valid, ni3, ni)
+        node_w = jnp.where(valid, node_w2, node_w)
+        leaf_par = jnp.where(valid, lp3, leaf_par)
+        node_par = jnp.where(valid, np3, node_par)
+        return (li, ni, node_w, leaf_par, node_par), None
+
+    init = (
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.full((n,), _INF, jnp.int32),     # node weights
+        jnp.zeros((n + 1,), jnp.int32),      # leaf -> parent node
+        jnp.zeros((n,), jnp.int32),          # node -> parent node
+    )
+    (_, _, _, leaf_par, node_par), _ = jax.lax.scan(
+        step, init, jnp.arange(n - 1, dtype=jnp.int32))
+
+    # Node depths: parents have larger indices; sweep from the root down.
+    root = jnp.maximum(m - 2, 0)
+
+    def depth_step(depth, i):
+        d = jnp.where(i == root, 0, depth[node_par[i]] + 1)
+        return depth.at[i].set(d), None
+
+    depth0 = jnp.zeros((n,), jnp.int32)
+    depth, _ = jax.lax.scan(
+        depth_step, depth0, jnp.arange(n - 2, -1, -1, dtype=jnp.int32))
+
+    leaf_rank = jnp.arange(n, dtype=jnp.int32)
+    leaf_depth = depth[leaf_par[leaf_rank]] + 1            # for sorted leaves
+    leaf_depth = jnp.where(leaf_rank < m, leaf_depth, 0)
+
+    # Histogram + zlib-style overflow repair to max_bits
+    # (cf. deflator.c:991-1028 limitlengths).
+    clamped = jnp.minimum(leaf_depth, max_bits)
+    bl_count = jnp.zeros((max_bits + 1,), jnp.int32).at[clamped].add(
+        (leaf_rank < m).astype(jnp.int32))
+    bl_count = bl_count.at[0].set(0)
+    overflow = jnp.sum((leaf_depth > max_bits).astype(jnp.int32))
+
+    def fix_cond(carry):
+        _, ov = carry
+        return ov > 0
+
+    def fix_body(carry):
+        blc, ov = carry
+        bits_idx = jnp.arange(max_bits + 1, dtype=jnp.int32)
+        cand = jnp.where((blc > 0) & (bits_idx < max_bits) & (bits_idx > 0),
+                         bits_idx, 0)
+        b = jnp.max(cand)
+        blc = blc.at[b].add(-1).at[b + 1].add(2).at[max_bits].add(-1)
+        return blc, ov - 2
+
+    bl_count, _ = jax.lax.while_loop(fix_cond, fix_body, (bl_count, overflow))
+
+    # Redistribute: sorted-desc-by-freq leaves get ascending lengths.
+    cum = jnp.cumsum(bl_count)                  # cumulative counts per length
+    pos = jnp.arange(n, dtype=jnp.int32)
+    length_at_pos = jnp.searchsorted(cum, pos, side="right").astype(jnp.int32)
+    # leaf j in freq-ascending order takes slot (m-1-j)
+    slot = jnp.clip(m - 1 - leaf_rank, 0, n - 1)
+    leaf_len = jnp.where(leaf_rank < m, length_at_pos[slot], 0)
+
+    # m <= 1 special cases: single used symbol -> length 1.
+    leaf_len = jnp.where(m == 1, jnp.where(leaf_rank == 0, 1, 0), leaf_len)
+    leaf_len = jnp.where(m == 0, 0, leaf_len)
+
+    lengths = jnp.zeros((n,), jnp.int32).at[order].set(leaf_len)
+    return lengths
+
+
+def canonical_codes(lengths: jnp.ndarray, max_bits: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Canonical codes for a length array: returns (codes_msb, codes_lsb_rev).
+
+    codes_msb follow RFC 1951 §3.2.2; codes_lsb_rev are bit-reversed within
+    their length for direct LSB-first emission (cf. deflator.c:1083-1136).
+    vmap over blocks for batched use.
+    """
+    n = lengths.shape[0]
+    l = lengths.astype(jnp.int32)
+    bl_count = jnp.zeros((max_bits + 1,), jnp.int32).at[l].add(
+        (l > 0).astype(jnp.int32))
+    bl_count = bl_count.at[0].set(0)
+
+    first = jnp.zeros((max_bits + 2,), jnp.int32)
+    code = jnp.int32(0)
+    for b in range(1, max_bits + 1):            # static unroll, <= 15 steps
+        code = (code + bl_count[b - 1]) << 1
+        first = first.at[b].set(code)
+
+    key = jnp.where(l > 0, l, _INF)
+    order = jnp.argsort(key, stable=True)       # by length asc, index asc
+    l_sorted = key[order]
+    group_start = jnp.searchsorted(l_sorted, l_sorted, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - group_start.astype(jnp.int32)
+    codes_sorted = first[jnp.clip(l_sorted, 0, max_bits)] + rank
+    codes = jnp.zeros((n,), jnp.int32).at[order].set(codes_sorted)
+    codes = jnp.where(l > 0, codes, 0)
+
+    rev = jnp.zeros_like(codes)
+    for b in range(max_bits):                    # static unroll
+        bit = (codes >> b) & 1
+        out_pos = l - 1 - b
+        rev = rev | jnp.where(out_pos >= 0, bit << jnp.maximum(out_pos, 0), 0)
+    return codes, rev
+
+
+@functools.partial(jax.jit, static_argnames=("max_bits",))
+def build_codes(freqs: jnp.ndarray, max_bits: int):
+    """Batched: freqs (B, n) -> (lengths, codes_msb, codes_rev), each (B, n)."""
+    lengths = jax.vmap(lambda f: code_lengths(f, max_bits))(freqs)
+    codes, rev = jax.vmap(lambda l: canonical_codes(l, max_bits))(lengths)
+    return lengths, codes, rev
