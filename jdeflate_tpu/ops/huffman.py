@@ -103,22 +103,27 @@ def code_lengths(freqs: jnp.ndarray, max_bits: int) -> jnp.ndarray:
     bl_count = jnp.zeros((max_bits + 1,), jnp.int32).at[clamped].add(
         (leaf_rank < m).astype(jnp.int32))
     bl_count = bl_count.at[0].set(0)
-    overflow = jnp.sum((leaf_depth > max_bits).astype(jnp.int32))
+    # Kraft excess in units of 2^-max_bits; each repair step (move one leaf
+    # one level down, pairing it with an overflowed leaf) reduces it by 1.
+    bits_idx = jnp.arange(max_bits + 1, dtype=jnp.int32)
+    excess = jnp.where(
+        m >= 2,
+        jnp.sum(bl_count << jnp.maximum(max_bits - bits_idx, 0)) - (1 << max_bits),
+        0)
 
     def fix_cond(carry):
-        _, ov = carry
-        return ov > 0
+        _, ex = carry
+        return ex > 0
 
     def fix_body(carry):
-        blc, ov = carry
-        bits_idx = jnp.arange(max_bits + 1, dtype=jnp.int32)
+        blc, ex = carry
         cand = jnp.where((blc > 0) & (bits_idx < max_bits) & (bits_idx > 0),
                          bits_idx, 0)
         b = jnp.max(cand)
         blc = blc.at[b].add(-1).at[b + 1].add(2).at[max_bits].add(-1)
-        return blc, ov - 2
+        return blc, ex - 1
 
-    bl_count, _ = jax.lax.while_loop(fix_cond, fix_body, (bl_count, overflow))
+    bl_count, _ = jax.lax.while_loop(fix_cond, fix_body, (bl_count, excess))
 
     # Redistribute: sorted-desc-by-freq leaves get ascending lengths.
     cum = jnp.cumsum(bl_count)                  # cumulative counts per length
