@@ -1,0 +1,197 @@
+"""Block-parallel DEFLATE decoder: wavefront decode over batches of blocks.
+
+Architecture (SURVEY.md §7, BASELINE north star): given an index of block bit
+offsets (free from our encoder; recovered by the host indexer for foreign
+streams), all blocks decode in parallel on device — per-bit speculative symbol
+decode, orbit extraction, one global output-offset scan, literal scatter, and
+a dependency-doubling LZ resolve across the whole batch output (window crosses
+block boundaries, exactly like the reference's ring window updatewindow,
+src/inflator.c:616-675). Stored blocks are plain copies handled host-side.
+
+The sequential correctness referee for arbitrary streams is
+stream.host_inflate; this module is the TPU throughput path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats import constants as C
+from ..ops import decode as dk
+from ..utils import errors
+
+HALO = C.WINDOW_SIZE
+
+
+def _bucket(n: int, base: int) -> int:
+    b = base
+    while b < n:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "nblocks", "max_syms", "out_cap"))
+def decode_batch(words: jnp.ndarray, bit_lo: jnp.ndarray,
+                 block_starts: jnp.ndarray, sym_starts: jnp.ndarray,
+                 ll: jnp.ndarray, dl: jnp.ndarray, halo: jnp.ndarray,
+                 nbits: int, nblocks: int, max_syms: int, out_cap: int):
+    """Decode `nblocks` Huffman blocks spanning local bits [0, nbits).
+
+    words: (W,) u32 whole-stream little-endian words (>=2 pad words).
+    bit_lo: absolute bit of local position 0.
+    block_starts: (B,) i32 local header bit of each block (ascending; dummy
+      blocks use nbits).
+    sym_starts: (B,) i32 local first-symbol bit (nbits for dummies).
+    ll: (B, 288) i32 litlen code lengths; dl: (B, 30) i32 dist code lengths.
+    halo: (32768,) u8 window history preceding this batch's output.
+
+    Returns (out (out_cap,) u8, produced i32, err i32).
+    """
+    lk, le, lp = dk.litlen_attrs()
+    dkk, de, dp = dk.dist_attrs()
+    ltab = jax.vmap(lambda l: dk.build_table(l, lk, le, lp))(ll)
+    dtab = jax.vmap(lambda l: dk.build_table(l, dkk, de, dp))(dl)
+
+    p = jnp.arange(nbits, dtype=jnp.int32)
+    bid = jnp.clip(
+        jnp.searchsorted(block_starts, p, side="right").astype(jnp.int32) - 1,
+        0, nblocks - 1)
+    f, outlen, lit, dist, flags = dk.wavefront_decode(
+        words, bit_lo, nbits, bid, ltab, dtab)
+
+    porb = dk.orbits(f, sym_starts, max_syms)            # (B, MS)
+    o_len = outlen[porb].reshape(-1)
+    o_lit = lit[porb].reshape(-1)
+    o_dist = dist[porb].reshape(-1)
+    o_err = flags[porb].reshape(-1)
+
+    off = HALO + jnp.cumsum(o_len) - o_len
+    produced = jnp.sum(o_len)
+
+    n = HALO + out_cap
+    val = jnp.zeros(n, jnp.int32).at[:HALO].set(halo.astype(jnp.int32))
+    is_tok = o_len > 0
+    is_lit = is_tok & (o_dist == 0)
+    # masked lanes scatter to index n, dropped (never clamped into range)
+    val = val.at[jnp.where(is_lit, off, n)].set(o_lit, mode="drop")
+
+    cover = jnp.full(n, -1, jnp.int32)
+    tok_idx = jnp.arange(o_len.shape[0], dtype=jnp.int32)
+    cover = cover.at[jnp.where(is_tok, off, n)].max(tok_idx, mode="drop")
+    cover = jax.lax.cummax(cover)
+    covc = jnp.clip(cover, 0, tok_idx.shape[0] - 1)
+    q = jnp.arange(n, dtype=jnp.int32)
+    is_match_pos = (cover >= 0) & (o_dist[covc] > 0)
+    src = jnp.where(is_match_pos, q - o_dist[covc], q)
+    src = jnp.clip(src, 0, n - 1)
+    resolved = (q < HALO) | ((cover >= 0) & ~is_match_pos)
+
+    rounds = max(2, (n - 1).bit_length())
+    val, resolved = dk.lz_resolve(val, src, resolved, rounds)
+
+    err = jnp.sum(o_err) + jnp.sum(
+        (off + o_len > n).astype(jnp.int32) * is_tok)
+    return val[HALO:].astype(jnp.uint8), produced, err
+
+
+class RawInflater:
+    """Decode a raw DEFLATE stream on device, given (or recovering) an index."""
+
+    def __init__(self, max_batch_bits: int = 1 << 23,
+                 max_batch_blocks: int = 64, max_batch_out: int = 1 << 22):
+        self.max_batch_bits = max_batch_bits
+        self.max_batch_blocks = max_batch_blocks
+        self.max_batch_out = max_batch_out
+
+    def decompress(self, raw: bytes, index=None, dictionary: bytes = b"",
+                   expected_size: int | None = None) -> bytes:
+        from ..stream import host_inflate as hi
+
+        if index is None:
+            # foreign stream: the host referee decodes and indexes in one pass
+            out, _, _ = hi.inflate_raw(raw, dictionary)
+            return out
+
+        block_bits = list(index["block_bits"])
+        block_bytes = list(index["block_bytes"])
+        n_out = index["n"]
+        nblk = len(block_bits)
+        out_lens = [
+            (block_bytes[i + 1] if i + 1 < nblk else n_out) - block_bytes[i]
+            for i in range(nblk)]
+
+        # headers (host parse; the native indexer replaces this on hot paths)
+        recs = [hi.parse_block_header(raw, b) for b in block_bits]
+
+        pad = (-len(raw)) % 4 + 8
+        words = jnp.asarray(
+            np.frombuffer(raw + b"\x00" * pad, dtype=np.uint8)
+            .view(np.uint32))
+
+        out = bytearray()
+        window = bytearray(dictionary[-HALO:])
+        i = 0
+        while i < nblk:
+            rec = recs[i]
+            if rec.btype == 0:
+                start = rec.sym_bit_offset >> 3
+                out += raw[start:start + rec.out_len]
+                window += raw[start:start + rec.out_len]
+                del window[:-HALO]
+                i += 1
+                continue
+            # gather a run of huffman blocks within batch limits
+            j = i
+            bits_end = block_bits[i]
+            total_out = 0
+            while (j < nblk and recs[j].btype != 0
+                   and j - i < self.max_batch_blocks):
+                end_j = block_bits[j + 1] if j + 1 < nblk else len(raw) * 8
+                if (end_j - block_bits[i] > self.max_batch_bits
+                        or total_out + out_lens[j] > self.max_batch_out) \
+                        and j > i:
+                    break
+                bits_end = end_j
+                total_out += out_lens[j]
+                j += 1
+            run = list(range(i, j))
+            b0 = block_bits[i]
+            nbits = _bucket(bits_end - b0, 1 << 12)
+            nb = _bucket(len(run), 4)
+            ms = _bucket(max(out_lens[k] for k in run) + 2, 256)
+            oc = _bucket(total_out, 1 << 12)
+
+            starts = np.full(nb, nbits, np.int32)
+            syms = np.full(nb, nbits, np.int32)
+            ll = np.zeros((nb, 288), np.int32)
+            dl = np.zeros((nb, 30), np.int32)
+            for t, k in enumerate(run):
+                starts[t] = block_bits[k] - b0
+                syms[t] = recs[k].sym_bit_offset - b0
+                lla = recs[k].litlen_lengths
+                ll[t, :len(lla)] = lla
+                dla = recs[k].dist_lengths
+                dl[t, :len(dla)] = dla
+            halo = np.zeros(HALO, np.uint8)
+            if window:
+                h = bytes(window[-HALO:])
+                halo[HALO - len(h):] = np.frombuffer(h, np.uint8)
+
+            o, produced, err = decode_batch(
+                words, jnp.int32(b0), jnp.asarray(starts), jnp.asarray(syms),
+                jnp.asarray(ll), jnp.asarray(dl), jnp.asarray(halo),
+                nbits, nb, ms, oc)
+            produced = int(produced)
+            if int(err) or produced != total_out:
+                raise errors.BadBlockError(
+                    f"device decode mismatch: produced={produced} "
+                    f"expected={total_out} err={int(err)}")
+            chunk = np.asarray(o)[:produced].tobytes()
+            out += chunk
+            window += chunk
+            del window[:-HALO]
+            i = j
+        return bytes(out)

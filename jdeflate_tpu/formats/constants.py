@@ -89,9 +89,9 @@ DIST_TO_SYMBOL_LO = np.zeros(256, dtype=np.int32)
 for _dd in range(1, 257):
     DIST_TO_SYMBOL_LO[_dd - 1] = int(np.searchsorted(DIST_BASE, _dd, side="right")) - 1
 DIST_TO_SYMBOL_HI = np.zeros(256, dtype=np.int32)
-for _k in range(256):
-    _dd = (_k << 7) + 1  # smallest distance mapping to this slot
-    DIST_TO_SYMBOL_HI[_k] = int(np.searchsorted(DIST_BASE, _dd + 256, side="right")) - 1
+for _k in range(2, 256):
+    _dd = (_k << 7) + 1  # smallest distance mapping to this slot (d>256 => k>=2)
+    DIST_TO_SYMBOL_HI[_k] = int(np.searchsorted(DIST_BASE, _dd, side="right")) - 1
 
 # ---------------------------------------------------------------------------
 # Fixed (static) Huffman code lengths (RFC 1951 §3.2.6; reference fixed tables

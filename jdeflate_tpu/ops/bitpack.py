@@ -1,0 +1,59 @@
+"""Variable-length bitstream packing via exclusive scan + scatter-add.
+
+Reference behavior reproduced: the deflator's bit emitters maintain a 64-bit
+bit buffer spilled byte-at-a-time (emitlzfast/putbits, src/deflator.c:563-607,
+1396-1501) — inherently serial. TPU-first replacement (north star): every item
+(header field, precode symbol, token, EOB) becomes a (value<=48 bits, nbits)
+pair; an exclusive scan over nbits yields each item's absolute bit offset, and
+each item's value is split across <=3 u32 output words with shifts and
+scatter-added. Bits of different items never overlap, so scatter-add == OR.
+DEFLATE is LSB-first: bit k of the stream is bit (k mod 8) of byte (k div 8),
+matching little-endian u32 word layout.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def append_bits(lo: jnp.ndarray, hi: jnp.ndarray, n: jnp.ndarray,
+                value: jnp.ndarray, nb: jnp.ndarray):
+    """Append nb-bit value (LSB-first) to a (lo, hi, n) 64-bit accumulator.
+
+    NB: all shift amounts are cast to uint32 — JAX promotes uint32 >> int32
+    to int32 (arithmetic shift), which sign-extends values with the top bit
+    set.
+    """
+    v = value.astype(jnp.uint32)
+    nu = n.astype(jnp.uint32) if hasattr(n, "astype") else jnp.uint32(n)
+    sh = jnp.minimum(nu, 31)
+    lo2 = lo | jnp.where(nu < 32, v << sh, 0)
+    spill = jnp.where((nu > 0) & (nu < 32),
+                      v >> jnp.minimum(jnp.uint32(32) - nu, 31), 0)
+    hi2 = hi | spill | jnp.where(nu >= 32, v << jnp.minimum(nu - 32, 31), 0)
+    return lo2, hi2, n + nb
+
+
+def pack(lo: jnp.ndarray, hi: jnp.ndarray, nbits: jnp.ndarray, num_words: int):
+    """Pack items into a u32 word array.
+
+    lo, hi: (N,) u32 — 64-bit LSB-first values (bits above nbits MUST be 0).
+    nbits: (N,) i32 in [0, 48].
+    Returns (words (num_words,) u32, offsets (N,) i32, total_bits i32).
+    """
+    offs = jnp.cumsum(nbits) - nbits              # exclusive scan
+    total = offs[-1] + nbits[-1] if nbits.shape[0] else jnp.int32(0)
+    word = (offs >> 5).astype(jnp.int32)
+    s = (offs & 31).astype(jnp.uint32)
+    rs = jnp.minimum(32 - s, 31)                  # right shift amount, s==0 guarded
+    w0 = lo << s
+    w1 = jnp.where(s == 0, 0, lo >> rs) | (hi << s)
+    w2 = jnp.where(s == 0, 0, hi >> rs)
+    live = nbits > 0
+    w0 = jnp.where(live, w0, 0)
+    w1 = jnp.where(live, w1, 0)
+    w2 = jnp.where(live, w2, 0)
+    out = jnp.zeros(num_words, jnp.uint32)
+    out = out.at[word].add(w0)
+    out = out.at[jnp.minimum(word + 1, num_words - 1)].add(w1)
+    out = out.at[jnp.minimum(word + 2, num_words - 1)].add(w2)
+    return out, offs, total
