@@ -1,0 +1,121 @@
+"""Decoder tests: device wavefront path + host referee + validity matrix
+(SURVEY.md §4 items 2-3)."""
+import zlib
+
+import numpy as np
+import pytest
+
+from jdeflate_tpu.codec.deflate import RawDeflater
+from jdeflate_tpu.codec.inflate import RawInflater
+from jdeflate_tpu.stream import host_inflate as hi
+from jdeflate_tpu.utils import errors
+
+
+@pytest.fixture(scope="module")
+def dec():
+    return RawInflater()
+
+
+@pytest.mark.parametrize("kind", ["text", "runs", "random", "zeros", "binary"])
+def test_device_roundtrip(corpus, dec, kind):
+    data = corpus(kind, 20000)
+    raw, idx = RawDeflater(level=6, block_size=4096, batch=2).compress(data)
+    assert dec.decompress(raw, index=idx) == data
+
+
+@pytest.mark.parametrize("level", [0, 1, 9])
+def test_device_roundtrip_levels(corpus, dec, level):
+    data = corpus("text", 12000)
+    raw, idx = RawDeflater(level=level, block_size=4096, batch=2).compress(data)
+    assert dec.decompress(raw, index=idx) == data
+
+
+def test_device_with_dictionary(corpus, dec):
+    dict_ = corpus("text", 5000)
+    data = dict_[:2000] + corpus("text", 3000)
+    raw, idx = RawDeflater(level=6, block_size=4096, batch=1).compress(
+        data, dictionary=dict_)
+    assert dec.decompress(raw, index=idx, dictionary=dict_) == data
+
+
+def test_foreign_stream_host(corpus, dec):
+    data = corpus("text", 30000)
+    z = zlib.compress(data, 9)[2:-4]
+    assert dec.decompress(z) == data
+
+
+def test_foreign_stream_device_indexed(corpus, dec):
+    data = corpus("binary", 30000)
+    z = zlib.compress(data, 6)[2:-4]
+    out, recs, _ = hi.inflate_raw(z)
+    assert out == data
+    idx = {"block_bits": [r.bit_offset for r in recs],
+           "block_bytes": [r.out_offset for r in recs], "n": len(out)}
+    assert dec.decompress(z, index=idx) == data
+
+
+def test_host_decodes_all_zlib_levels(corpus):
+    data = corpus("text", 8000)
+    for level in range(10):
+        z = zlib.compress(data, level)[2:-4]
+        out, recs, _ = hi.inflate_raw(z)
+        assert out == data
+    # stored blocks appear at level 0
+    z0 = zlib.compress(data, 0)[2:-4]
+    _, recs, _ = hi.inflate_raw(z0)
+    assert any(r.btype == 0 for r in recs)
+
+
+# --- validity matrix (reference: inflator.c error taxonomy) ---
+
+def test_reserved_block_type():
+    with pytest.raises(errors.BadBlockError):
+        hi.inflate_raw(b"\x07\x00\x00")   # BTYPE=11
+
+
+def test_len_nlen_mismatch():
+    bad = bytes([0x01, 0x05, 0x00, 0x12, 0x34])
+    with pytest.raises(errors.BadBlockError):
+        hi.inflate_raw(bad)
+
+
+def test_truncated_stream(corpus):
+    data = corpus("text", 5000)
+    z = zlib.compress(data, 6)[2:-4]
+    with pytest.raises(errors.JDeflateError):
+        hi.inflate_raw(z[: len(z) // 2])
+
+
+def test_far_offset(corpus):
+    # a dictionary-referencing stream decoded WITHOUT the dictionary must
+    # fail with a too-far offset (INFLT_EFAROFFSET semantics)
+    dict_ = corpus("text", 4000)
+    data = dict_[:2000]
+    raw, _ = RawDeflater(level=6, block_size=4096, batch=1).compress(
+        data, dictionary=dict_)
+    with pytest.raises(errors.FarOffsetError):
+        hi.inflate_raw(raw)
+
+
+def test_oversubscribed_tree():
+    with pytest.raises(errors.BadTreeError):
+        hi._Decoder(np.array([1, 1, 1]))   # three 1-bit codes
+
+
+def test_incomplete_tree_rejected_for_litlen():
+    with pytest.raises(errors.BadTreeError):
+        hi._Decoder(np.array([2, 2, 2]))   # kraft < 1
+
+
+def test_incomplete_single_code_dist_tree_allowed():
+    d = hi._Decoder(np.array([1, 0, 0]), allow_incomplete_single=True)
+    assert d is not None
+
+
+def test_device_detects_corruption(corpus, dec):
+    data = corpus("text", 12000)
+    raw, idx = RawDeflater(level=6, block_size=4096, batch=1).compress(data)
+    bad = bytearray(raw)
+    bad[len(bad) // 2] ^= 0xFF
+    with pytest.raises(errors.JDeflateError):
+        dec.decompress(bytes(bad), index=idx)
