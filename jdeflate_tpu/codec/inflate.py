@@ -167,7 +167,7 @@ class RawInflater:
             starts = np.full(nb, nbits, np.int32)
             syms = np.full(nb, nbits, np.int32)
             ll = np.zeros((nb, 288), np.int32)
-            dl = np.zeros((nb, 30), np.int32)
+            dl = np.zeros((nb, 32), np.int32)
             for t, k in enumerate(run):
                 starts[t] = block_bits[k] - b0
                 syms[t] = recs[k].sym_bit_offset - b0

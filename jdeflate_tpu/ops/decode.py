@@ -100,7 +100,8 @@ def litlen_attrs():
 
 def dist_attrs():
     kinds = np.full(32, KIND_CODE, np.int32)
-    extras = np.zeros(32, np.int32)
+    kinds[30:] = KIND_INVALID      # reserved symbols: present in the fixed
+    extras = np.zeros(32, np.int32)  # tree (completeness) but invalid on use
     payloads = np.zeros(32, np.int32)
     extras[:30] = C.DIST_EXTRA
     payloads[:30] = C.DIST_BASE

@@ -133,8 +133,10 @@ def code_lengths(freqs: jnp.ndarray, max_bits: int) -> jnp.ndarray:
     slot = jnp.clip(m - 1 - leaf_rank, 0, n - 1)
     leaf_len = jnp.where(leaf_rank < m, length_at_pos[slot], 0)
 
-    # m <= 1 special cases: single used symbol -> length 1.
-    leaf_len = jnp.where(m == 1, jnp.where(leaf_rank == 0, 1, 0), leaf_len)
+    # Degenerate case: a single used symbol would yield an incomplete 1-bit
+    # code. Like the reference (computelengths, deflator.c:1138-1178), force a
+    # second (unused) symbol in so every emitted tree is complete.
+    leaf_len = jnp.where(m == 1, jnp.where(leaf_rank <= 1, 1, 0), leaf_len)
     leaf_len = jnp.where(m == 0, 0, leaf_len)
 
     lengths = jnp.zeros((n,), jnp.int32).at[order].set(leaf_len)

@@ -126,7 +126,7 @@ def parse_block_header(data: bytes, bit_pos: int) -> BlockRecord:
     if btype == 1:
         return BlockRecord(bit_pos, 1, bool(bfinal), 0, 0, br.pos,
                            C.FIXED_LITLEN_LENGTHS.copy(),
-                           C.FIXED_DIST_LENGTHS[:30].copy())
+                           C.FIXED_DIST_LENGTHS.copy())
     hlit = br.read(5) + 257
     hdist = br.read(5) + 1
     hclen = br.read(4) + 4
@@ -192,7 +192,7 @@ def inflate_raw(data: bytes, dictionary: bytes = b"", max_output: int | None = N
         else:
             if btype == 1:
                 ll = C.FIXED_LITLEN_LENGTHS
-                dl = C.FIXED_DIST_LENGTHS[:30]
+                dl = C.FIXED_DIST_LENGTHS
                 sym_bit = br.pos
             else:
                 hlit = br.read(5) + 257

@@ -68,11 +68,12 @@ def test_degenerate_trees():
     # no symbols
     l0 = np.asarray(hf.code_lengths(jnp.zeros(30, jnp.int32), 15))
     assert (l0 == 0).all()
-    # one symbol -> single length-1 code (legal for distance trees)
+    # one symbol -> forced pair of length-1 codes so the tree is complete
+    # (reference computelengths forces >=2 symbols, deflator.c:1138-1178)
     f = np.zeros(30, np.int32)
     f[13] = 42
     l1 = np.asarray(hf.code_lengths(jnp.asarray(f), 15))
-    assert l1[13] == 1 and l1.sum() == 1
+    assert l1[13] == 1 and l1.sum() == 2 and (l1 <= 1).all()
     # two symbols
     f[5] = 1
     l2 = np.asarray(hf.code_lengths(jnp.asarray(f), 15))
