@@ -373,13 +373,23 @@ class RawDeflater:
         self.bl = block_size
         self.batch = batch
 
-    def compress(self, data: bytes, dictionary: bytes | None = None):
+    def compress(self, data: bytes, dictionary: bytes | None = None,
+                 final: bool = True):
+        """Compress to a raw DEFLATE stream.
+
+        final=False omits BFINAL and terminates with a byte-aligned
+        sync-flush seam instead (Z_SYNC_FLUSH / DEFLT_FLUSH semantics,
+        deflator.h:135-141), so further segments can be concatenated.
+        """
         bl, batch = self.bl, self.batch
         n = len(data)
         if n == 0:
+            if not final:
+                return b"", {"block_bits": [], "block_bytes": [],
+                             "sync_points": [], "n": 0}
             # empty stream: single static block with just EOB = 0x03 0x00
             return b"\x03\x00", {"block_bits": [], "block_bytes": [],
-                                 "sync_points": []}
+                                 "sync_points": [], "n": 0}
         dict_bytes = (dictionary or b"")[-C.WINDOW_SIZE:]
         nblocks = (n + bl - 1) // bl
         npad = nblocks * bl
@@ -394,10 +404,11 @@ class RawDeflater:
         index_bits = []          # absolute bit offset of each block start
         index_bytes = []         # output (uncompressed) offset of each block
         sync_points = []
+        final_idx = nblocks - 1 if final else -1
         for b0 in range(0, nblocks, batch):
             words, total, per_block, _ = encode_batch(
                 dev, jnp.int32(b0), jnp.int32(n), jnp.int32(len(dict_bytes)),
-                jnp.int32(nblocks - 1), bl, batch, self.level, nw)
+                jnp.int32(final_idx), bl, batch, self.level, nw)
             total = int(total)
             wb = np.asarray(words).view(np.uint8)  # little-endian words
             pb = np.asarray(per_block)
@@ -407,7 +418,7 @@ class RawDeflater:
                 index_bits.append(base_bits + acc)
                 index_bytes.append((b0 + i) * bl)
                 acc += int(pb[i])
-            if b0 + batch >= nblocks:
+            if b0 + batch >= nblocks and final:
                 out += wb[: (total + 7) // 8].tobytes()
             else:
                 # sync flush: 3 zero bits (BFINAL=0, BTYPE=00) + pad + 00 00 ff ff

@@ -1,0 +1,142 @@
+"""Framing layer tests: gzip/zlib round-trips vs the Python gzip/zlib oracle,
+autodetection, dictionary protocol, checksum verification, streaming
+(SURVEY.md §4 item 2, BASELINE configs[2])."""
+import gzip as _gzip
+import zlib
+
+import pytest
+
+import jdeflate_tpu as jd
+from jdeflate_tpu.utils import errors
+
+
+@pytest.mark.parametrize("fmt", ["raw", "zlib", "gzip"])
+def test_roundtrip_ours(corpus, fmt):
+    data = corpus("text", 20000)
+    blob = jd.compress(data, format=fmt, level=6, block_size=4096, batch=2)
+    assert jd.decompress(blob, format=fmt) == data
+
+
+def test_gzip_oracle_decodes_us(corpus):
+    data = corpus("binary", 15000)
+    blob = jd.compress(data, format="gzip", level=6, block_size=4096, batch=2)
+    assert _gzip.decompress(blob) == data
+
+
+def test_zlib_oracle_decodes_us(corpus):
+    data = corpus("text", 15000)
+    blob = jd.compress(data, format="zlib", level=6, block_size=4096, batch=2)
+    assert zlib.decompress(blob) == data
+
+
+def test_we_decode_gzip_oracle(corpus):
+    data = corpus("text", 15000)
+    assert jd.decompress(_gzip.compress(data, 6)) == data
+
+
+def test_we_decode_zlib_oracle(corpus):
+    data = corpus("runs", 15000)
+    assert jd.decompress(zlib.compress(data, 9)) == data
+
+
+def test_autodetect(corpus):
+    data = corpus("text", 5000)
+    for fmt in ("zlib", "gzip"):
+        blob = jd.compress(data, format=fmt, block_size=4096, batch=1)
+        assert jd.decompress(blob, format="auto") == data
+
+
+def test_gzip_header_flags(corpus):
+    # gzip with FNAME etc. (written by the gzip module) must parse
+    data = corpus("text", 5000)
+    import io
+    buf = io.BytesIO()
+    with _gzip.GzipFile(filename="somename.txt", mode="wb", fileobj=buf) as f:
+        f.write(data)
+    assert jd.decompress(buf.getvalue()) == data
+
+
+def test_zlib_dictionary_protocol(corpus):
+    dict_ = corpus("text", 6000)
+    data = dict_[:3000] + corpus("text", 2000)
+    blob = jd.compress(data, format="zlib", level=6, dictionary=dict_,
+                       block_size=4096, batch=1)
+    # oracle decodes with the dictionary
+    d = zlib.decompressobj(zdict=dict_)
+    assert d.decompress(blob) + d.flush() == data
+    # we decode our own
+    assert jd.decompress(blob, dictionary=dict_) == data
+    # missing dictionary -> error
+    with pytest.raises(errors.MissingDictError):
+        jd.decompress(blob)
+    # wrong dictionary -> error
+    with pytest.raises(errors.BadDictError):
+        jd.decompress(blob, dictionary=b"not the dictionary")
+    # we decode zlib's dictionary streams
+    c = zlib.compressobj(6, zlib.DEFLATED, 15, 8, 0, zdict=dict_)
+    zblob = c.compress(data) + c.flush()
+    assert jd.decompress(zblob, dictionary=dict_) == data
+
+
+def test_checksum_verification(corpus):
+    data = corpus("text", 8000)
+    blob = bytearray(jd.compress(data, format="gzip", block_size=4096, batch=1))
+    blob[-6] ^= 0xFF   # corrupt CRC field
+    with pytest.raises(errors.ChecksumError):
+        jd.decompress(bytes(blob))
+    blob2 = bytearray(jd.compress(data, format="zlib", block_size=4096, batch=1))
+    blob2[-2] ^= 0xFF  # corrupt adler field
+    with pytest.raises(errors.ChecksumError):
+        jd.decompress(bytes(blob2))
+
+
+def test_gzip_rejects_dictionary(corpus):
+    with pytest.raises(errors.IncorrectUseError):
+        jd.compress(b"x", format="gzip", dictionary=b"d")
+
+
+def test_streaming_zstream(corpus):
+    data = corpus("text", 40000)
+    z = jd.ZStream("deflate", format="gzip", level=6, block_size=4096, batch=2)
+    out = bytearray()
+    for i in range(0, len(data), 7000):
+        z.write(data[i:i + 7000])
+        out += z.read()
+    out += z.flush(final=True)
+    assert _gzip.decompress(bytes(out)) == data
+    assert z.total_in == len(data)
+    assert z.total_out == len(out)
+
+
+def test_streaming_sync_flush_segments(corpus):
+    data = corpus("text", 30000)
+    z = jd.ZStream("deflate", format="zlib", level=6, block_size=4096, batch=1)
+    out = bytearray()
+    z.write(data[:10000])
+    out += z.flush(final=False)       # sync seam mid-stream
+    z.write(data[10000:])
+    out += z.flush(final=True)
+    assert zlib.decompress(bytes(out)) == data
+
+
+def test_stream_poisoning(corpus):
+    z = jd.ZStream("deflate", format="gzip", block_size=4096, batch=1)
+    with pytest.raises(errors.IncorrectUseError):
+        z.flush(final=True) and z.write(b"more")  # write after final
+        z.write(b"more")
+    with pytest.raises(errors.StreamPoisonedError):
+        z.write(b"again")
+
+
+def test_empty_roundtrip():
+    for fmt in ("raw", "zlib", "gzip"):
+        blob = jd.compress(b"", format=fmt)
+        assert jd.decompress(blob, format=fmt) == b""
+    assert _gzip.decompress(jd.compress(b"", format="gzip")) == b""
+
+
+def test_compress_with_index_device_decode(corpus):
+    data = corpus("text", 20000)
+    blob, index, hl = jd.compress_with_index(
+        data, format="gzip", level=6, block_size=4096, batch=2)
+    assert jd.decompress(blob, index=index, header_len=hl) == data
