@@ -242,11 +242,10 @@ def _encode_one_block(ext, block_len, valid_from, bfinal, cfg: levels_mod.LevelC
     return lo, hi, nb, ntok
 
 
-@functools.partial(jax.jit, static_argnames=("bl", "batch", "level", "num_words"))
-def encode_batch(data: jnp.ndarray, start_block: jnp.ndarray,
-                 total_len: jnp.ndarray, dict_len: jnp.ndarray,
-                 final_block: jnp.ndarray,
-                 bl: int, batch: int, level: int, num_words: int):
+def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
+                      total_len: jnp.ndarray, dict_len: jnp.ndarray,
+                      final_block: jnp.ndarray,
+                      bl: int, batch: int, level: int, num_words: int):
     """Encode `batch` consecutive blocks of `data` into one bit-contiguous
     DEFLATE fragment.
 
@@ -350,6 +349,10 @@ def encode_batch(data: jnp.ndarray, start_block: jnp.ndarray,
         lo.reshape(-1), hi.reshape(-1), nb.reshape(-1), num_words)
     per_block_bits = jnp.sum(nb, axis=1)
     return words, total, per_block_bits, jnp.sum(ntok)
+
+
+encode_batch = jax.jit(
+    encode_batch_impl, static_argnames=("bl", "batch", "level", "num_words"))
 
 
 def words_bound(bl: int, batch: int) -> int:

@@ -1,0 +1,210 @@
+"""Data-parallel sharded compression over a device mesh (shard_map).
+
+Design (SURVEY.md §2.5, BASELINE north star): the input splits into per-chip
+shards; every chip runs the full block-parallel encode pipeline on its shard
+with no cross-chip traffic during compute (the DEFLATE window bound makes
+shards independent). The collectives are exactly the ones the format needs:
+
+  (a) per-shard compressed bit lengths all-gathered ('dp' axis, ICI),
+  (b) exclusive scan of lengths -> member offsets (tiny, replicated),
+  (c) ordered gather of the variable-length members (host-side collect of the
+      sharded words array — DCN/PCIe path; a fixed-capacity padded
+      all-gather alternative is bandwidth-wasteful at these sizes),
+  (d) checksums combined in log-depth with the GF(2)/adler algebra
+      (ops.checksum.crc32_combine / adler32_combine; the algebra the
+      reference ships as crc32_ncombine, src/zstrm.c:1427-1443).
+
+Two output modes:
+  members: each chip emits a complete gzip member; concatenated members form
+    a valid multi-member gzip file (RFC 1952 §2.2) — decode is also
+    embarrassingly parallel.
+  stream: one deflate stream; shard k sees shard k-1's 32 KiB tail as a
+    preset-dictionary halo (better ratio; serial window for foreign decoders,
+    still block-parallel for ours).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..codec import deflate as De
+from ..codec.inflate import RawInflater
+from ..formats import headers as H
+from ..ops import checksum as cs
+from .mesh import DP_AXIS, make_mesh
+
+HALO = De.HALO
+PAD = De.PAD
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "bl", "bpd", "level", "num_words"))
+def encode_sharded(data_sh, shard_lens, dict_lens, final_blocks,
+                   mesh, bl: int, bpd: int, level: int, num_words: int):
+    """Encode all shards in parallel under shard_map.
+
+    data_sh: (D, HALO + bpd*bl + PAD) u8, sharded over 'dp'.
+    shard_lens/dict_lens/final_blocks: (D,) i32 (final_blocks: per-shard index
+      of the BFINAL block, or -1).
+    Returns (words (D, num_words) u32, totals (D,) i32, per_block (D, bpd),
+    all_lens (D, D) — each shard's view of the all-gathered lengths).
+    """
+
+    def body(d, n, dl, fin):
+        words, total, per_block, _ = De.encode_batch_impl(
+            d[0], jnp.int32(0), n[0], dl[0], fin[0],
+            bl, bpd, level, num_words)
+        # (a) all-gather per-shard bit lengths over ICI
+        lens = jax.lax.all_gather(total, DP_AXIS)
+        return words[None], total[None], per_block[None], lens[None]
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(DP_AXIS, None), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS)),
+        out_specs=(P(DP_AXIS, None), P(DP_AXIS), P(DP_AXIS, None),
+                   P(DP_AXIS, None)),
+        check_vma=False)(data_sh, shard_lens, dict_lens, final_blocks)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "shard_cap"))
+def checksums_sharded(data_sh, shard_lens, mesh, shard_cap: int):
+    """Per-shard crc32/adler32 as device reductions under shard_map."""
+
+    def body(d, n):
+        shard = d[0, HALO:HALO + shard_cap]
+        # the raw-CRC chunk scan needs FRONT zero padding (invisible to a
+        # zero-init recurrence); adler wants trailing zeros (weightless)
+        fronted = jnp.roll(shard, shard_cap - n[0])
+        crc = cs._crc32_device(fronted, jnp.uint32(0), n[0].astype(jnp.uint32))
+        adl = cs._adler32_device(shard, jnp.uint32(1), n[0].astype(jnp.uint32))
+        return crc[None], adl[None]
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(P(DP_AXIS, None), P(DP_AXIS)),
+        out_specs=(P(DP_AXIS), P(DP_AXIS)),
+        check_vma=False,
+    )(data_sh, shard_lens)
+
+
+class ShardedDeflater:
+    """Host driver for mesh-parallel compression."""
+
+    def __init__(self, mesh=None, level: int = 6, block_size: int = 1 << 16,
+                 blocks_per_device: int = 8, mode: str = "members"):
+        if mode not in ("members", "stream"):
+            raise ValueError(mode)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.level = level
+        self.bl = block_size
+        self.bpd = blocks_per_device
+        self.mode = mode
+
+    @property
+    def ndev(self) -> int:
+        return self.mesh.devices.size
+
+    def compress(self, data: bytes):
+        """Returns (blob, info). members mode: multi-member gzip file.
+        stream mode: single gzip stream with combined checksum."""
+        bl, bpd, d = self.bl, self.bpd, self.ndev
+        shard_bytes = bl * bpd
+        n = len(data)
+        arr = np.frombuffer(data, np.uint8)
+        nw = De.words_bound(bl, bpd)
+
+        out = bytearray()
+        members = []
+        crc_total, adler_total, done = 0, 1, 0
+        pos = 0
+        first_round = True
+        while pos < n or (first_round and n == 0):
+            first_round = False
+            round_n = min(n - pos, d * shard_bytes)
+            buf = np.zeros((d, HALO + shard_bytes + PAD), np.uint8)
+            lens = np.zeros(d, np.int32)
+            dls = np.zeros(d, np.int32)
+            fins = np.full(d, -1, np.int32)
+            for k in range(d):
+                s = pos + k * shard_bytes
+                ln = max(0, min(n - s, shard_bytes))
+                lens[k] = ln
+                if ln:
+                    buf[k, HALO:HALO + ln] = arr[s:s + ln]
+                if self.mode == "stream" and s > 0 and ln:
+                    h = min(HALO, s)
+                    buf[k, HALO - h:HALO] = arr[s - h:s]
+                    dls[k] = h
+                if ln and (self.mode == "members"
+                           or s + ln >= n):
+                    fins[k] = (ln - 1) // bl
+            data_sh = jax.device_put(
+                jnp.asarray(buf),
+                jax.sharding.NamedSharding(self.mesh, P(DP_AXIS, None)))
+            words, totals, per_block, _ = encode_sharded(
+                data_sh, jnp.asarray(lens), jnp.asarray(dls),
+                jnp.asarray(fins), self.mesh, bl, bpd, self.level, nw)
+            crcs, adlers = checksums_sharded(
+                data_sh, jnp.asarray(lens), self.mesh, shard_bytes)
+            wh = np.asarray(words)
+            th = np.asarray(totals)
+            ch = np.asarray(crcs)
+            ah = np.asarray(adlers)
+            for k in range(d):
+                ln = int(lens[k])
+                if ln == 0:
+                    continue
+                total = int(th[k])
+                body = wh[k].view(np.uint8)
+                if self.mode == "members":
+                    mstart = len(out)
+                    out += H.emit_gzip_header()
+                    out += body[: (total + 7) // 8].tobytes()
+                    out += H.emit_gzip_trailer(int(ch[k]), ln)
+                    members.append((mstart, len(out) - mstart, ln))
+                else:
+                    final = done + ln >= n
+                    if final:
+                        out += body[: (total + 7) // 8].tobytes()
+                    else:
+                        out += body[: (total + 3 + 7) // 8].tobytes()
+                        out += b"\x00\x00\xff\xff"
+                    crc_total = cs.crc32_combine(crc_total, int(ch[k]), ln)
+                    adler_total = cs.adler32_combine(adler_total, int(ah[k]), ln)
+                done += ln
+            pos += d * shard_bytes
+            if n == 0:
+                break
+
+        if self.mode == "members":
+            if n == 0:
+                out += H.emit_gzip_header() + b"\x03\x00" \
+                    + H.emit_gzip_trailer(0, 0)
+                members.append((0, len(out), 0))
+            return bytes(out), {"mode": "members", "members": members, "n": n}
+        body = bytes(out) if n else b"\x03\x00"
+        blob = (H.emit_gzip_header() + body
+                + H.emit_gzip_trailer(crc_total, n))
+        return blob, {"mode": "stream", "n": n}
+
+
+def decompress_members(blob: bytes, info=None) -> bytes:
+    """Decode a (possibly multi-member) gzip file (RFC 1952 §2.2)."""
+    dec = RawInflater()
+    from ..stream import host_inflate as hi
+    out = bytearray()
+    pos = 0
+    while pos < len(blob):
+        hl = H.parse_gzip_header(blob[pos:])
+        body, recs, endbit = hi.inflate_raw(blob[pos + hl:])
+        H.check_gzip_trailer(
+            blob[pos + hl + (endbit + 7) // 8:], cs.crc32(body), len(body))
+        out += body
+        pos += hl + (endbit + 7) // 8 + 8
+    return bytes(out)

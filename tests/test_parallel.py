@@ -1,0 +1,79 @@
+"""Multi-device sharded compression on the virtual 8-device CPU mesh
+(SURVEY.md §4 item 4, BASELINE configs[4])."""
+import gzip as _gzip
+import zlib
+
+import jax
+import numpy as np
+import pytest
+
+from jdeflate_tpu.parallel.mesh import make_mesh
+from jdeflate_tpu.parallel.shard import ShardedDeflater, decompress_members
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_members_mode_roundtrip(corpus, mesh8):
+    data = corpus("text", 8 * 2 * 2048 + 777)   # ragged tail shard
+    enc = ShardedDeflater(mesh=mesh8, level=6, block_size=2048,
+                          blocks_per_device=2, mode="members")
+    blob, info = enc.compress(data)
+    assert info["mode"] == "members"
+    assert len(info["members"]) >= 8
+    # the gzip oracle decodes multi-member files
+    assert _gzip.decompress(blob) == data
+    # our member decoder agrees
+    assert decompress_members(blob, info) == data
+
+
+def test_stream_mode_roundtrip(corpus, mesh8):
+    data = corpus("binary", 8 * 2 * 2048 + 123)
+    enc = ShardedDeflater(mesh=mesh8, level=6, block_size=2048,
+                          blocks_per_device=2, mode="stream")
+    blob, info = enc.compress(data)
+    # single-member gzip with combined CRC
+    assert _gzip.decompress(blob) == data
+
+
+def test_stream_mode_halo_ratio(corpus, mesh8):
+    # stream mode gives shards the previous 32K as halo -> better ratio than
+    # members mode on redundant data
+    data = corpus("text", 8 * 2048)
+    s = ShardedDeflater(mesh=mesh8, level=6, block_size=1024,
+                        blocks_per_device=1, mode="stream")
+    m = ShardedDeflater(mesh=mesh8, level=6, block_size=1024,
+                        blocks_per_device=1, mode="members")
+    bs, _ = s.compress(data)
+    bm, _ = m.compress(data)
+    assert len(bs) < len(bm)
+
+
+def test_multiple_rounds(corpus, mesh8):
+    # input larger than one mesh round (d * bpd * bl)
+    data = corpus("runs", 8 * 1024 * 2 * 3 + 55)
+    enc = ShardedDeflater(mesh=mesh8, level=5, block_size=1024,
+                          blocks_per_device=2, mode="members")
+    blob, info = enc.compress(data)
+    assert _gzip.decompress(blob) == data
+
+
+def test_empty_input(mesh8):
+    enc = ShardedDeflater(mesh=mesh8, level=6, block_size=1024,
+                          blocks_per_device=1, mode="members")
+    blob, info = enc.compress(b"")
+    assert _gzip.decompress(blob) == b""
+
+
+def test_checksum_combination_matches_zlib(corpus, mesh8):
+    data = corpus("text", 8 * 2048 + 99)
+    enc = ShardedDeflater(mesh=mesh8, level=6, block_size=1024,
+                          blocks_per_device=2, mode="stream")
+    blob, _ = enc.compress(data)
+    import struct
+    crc, isize = struct.unpack("<II", blob[-8:])
+    assert crc == zlib.crc32(data)
+    assert isize == len(data)
