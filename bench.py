@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Benchmark harness: encode/decode GB/s per chip + size vs the jdeflate
+reference oracle. Prints ONE JSON line (driver contract).
+
+Headline metric: decode GB/s at level 6 on a Silesia-like mixed corpus
+(BASELINE.json north star target: >= 2 GB/s/chip; vs_baseline = value/2.0).
+Details (encode GB/s, sizes vs reference, ratio) go to bench_details.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+CORPUS_MB = int(os.environ.get("BENCH_CORPUS_MB", "32"))
+LEVEL = int(os.environ.get("BENCH_LEVEL", "6"))
+
+
+def make_corpus(n: int) -> bytes:
+    """Deterministic Silesia-like mix: text, records, runs, near-random."""
+    rng = np.random.default_rng(20260817)
+    parts = []
+    words = [b"the ", b"of ", b"and ", b"compression ", b"deflate ",
+             b"window ", b"entropy ", b"stream ", b"block ", b"huffman ",
+             b"match ", b"distance ", b"symbol ", b"encode ", b"decode \n"]
+    total = 0
+    while total < n:
+        kind = rng.integers(4)
+        if kind == 0:       # text
+            k = int(rng.integers(1 << 16, 1 << 18))
+            idx = rng.integers(0, len(words), k // 6)
+            seg = b"".join(words[i] for i in idx)[:k]
+        elif kind == 1:     # structured records with noise
+            rec = rng.integers(0, 256, 96, dtype=np.uint8)
+            reps = int(rng.integers(500, 3000))
+            m = np.tile(rec, (reps, 1))
+            noise = rng.integers(0, 96, reps)
+            m[np.arange(reps), noise] = rng.integers(0, 256, reps)
+            seg = m.tobytes()
+        elif kind == 2:     # runs
+            k = int(rng.integers(1 << 15, 1 << 17))
+            vals = rng.integers(0, 8, k // 64, dtype=np.uint8)
+            seg = np.repeat(vals, 64).tobytes()
+        else:               # high entropy
+            k = int(rng.integers(1 << 14, 1 << 16))
+            seg = rng.integers(0, 256, k, dtype=np.uint8).tobytes()
+        parts.append(seg)
+        total += len(seg)
+    return b"".join(parts)[:n]
+
+
+def build_oracle() -> str | None:
+    exe = os.path.join(REPO, "oracle", "build", "jdeflate_cli")
+    if os.path.exists(exe):
+        return exe
+    try:
+        os.makedirs(os.path.dirname(exe), exist_ok=True)
+        srcs = [os.path.join("/root/reference/src", f)
+                for f in ("deflator.c", "inflator.c", "zstrm.c", "version.c")]
+        subprocess.run(
+            ["gcc", "-O2", "-I", os.path.join(REPO, "oracle"),
+             "-I", "/root/reference",
+             "-o", exe, os.path.join(REPO, "oracle", "jdeflate_cli.c")] + srcs,
+            check=True, capture_output=True)
+        return exe
+    except Exception:
+        return None
+
+
+def main():
+    # persistent compile cache speeds later rounds
+    cache = os.path.join(REPO, ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    import jax
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from jdeflate_tpu.codec.deflate import RawDeflater
+    from jdeflate_tpu.codec.inflate import RawInflater
+
+    n = CORPUS_MB << 20
+    data = make_corpus(n)
+
+    bl, batch = 1 << 16, 16
+    enc = RawDeflater(level=LEVEL, block_size=bl, batch=batch)
+    dec = RawInflater(max_batch_bits=1 << 24, max_batch_blocks=64,
+                      max_batch_out=1 << 22)
+
+    # warmup (compile)
+    warm = data[: bl * batch]
+    raw_w, idx_w = enc.compress(warm)
+    dec.decompress(raw_w, index=idx_w)
+
+    t0 = time.perf_counter()
+    raw, index = enc.compress(data)
+    enc_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    out = dec.decompress(raw, index=index)
+    dec_s = time.perf_counter() - t0
+
+    ok = out == data
+
+    details = {
+        "corpus_bytes": n,
+        "level": LEVEL,
+        "encode_GBps": n / enc_s / 1e9,
+        "decode_GBps": n / dec_s / 1e9,
+        "encode_s": enc_s,
+        "decode_s": dec_s,
+        "compressed_bytes": len(raw),
+        "ratio": n / len(raw),
+        "roundtrip_exact": ok,
+        "backend": jax.devices()[0].platform,
+    }
+
+    oracle = build_oracle()
+    if oracle:
+        try:
+            t0 = time.perf_counter()
+            jd = subprocess.run([oracle, "c", str(LEVEL)], input=data,
+                                capture_output=True, timeout=600).stdout
+            details["jdeflate_encode_s"] = time.perf_counter() - t0
+            details["jdeflate_bytes"] = len(jd)
+            details["size_vs_jdeflate"] = len(raw) / len(jd)
+            t0 = time.perf_counter()
+            back = subprocess.run([oracle, "d"], input=jd,
+                                  capture_output=True, timeout=600).stdout
+            details["jdeflate_decode_s"] = time.perf_counter() - t0
+            details["jdeflate_roundtrip"] = back == data
+            # cross-decode: reference must decode our stream
+            ours_by_jd = subprocess.run([oracle, "d"], input=raw,
+                                        capture_output=True, timeout=600).stdout
+            details["jdeflate_decodes_us"] = ours_by_jd == data
+        except Exception as e:  # oracle failures must not kill the bench
+            details["oracle_error"] = repr(e)
+
+    with open(os.path.join(REPO, "bench_details.json"), "w") as f:
+        json.dump(details, f, indent=2)
+
+    value = details["decode_GBps"] if ok else 0.0
+    print(json.dumps({
+        "metric": "decode_GBps_level%d_silesia_like" % LEVEL,
+        "value": round(value, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(value / 2.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
