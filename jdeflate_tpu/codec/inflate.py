@@ -109,10 +109,15 @@ class RawInflater:
     def decompress(self, raw: bytes, index=None, dictionary: bytes = b"",
                    expected_size: int | None = None) -> bytes:
         from ..stream import host_inflate as hi
+        from ..stream import native
 
         if index is None:
-            # foreign stream: the host referee decodes and indexes in one pass
-            out, _, _ = hi.inflate_raw(raw, dictionary)
+            # foreign stream: the native indexer/inflator (or the Python
+            # referee) decodes in one sequential pass
+            if native.available():
+                out, _, _ = native.inflate(raw, dictionary)
+            else:
+                out, _, _ = hi.inflate_raw(raw, dictionary)
             return out
 
         block_bits = list(index["block_bits"])
@@ -123,8 +128,11 @@ class RawInflater:
             (block_bytes[i + 1] if i + 1 < nblk else n_out) - block_bytes[i]
             for i in range(nblk)]
 
-        # headers (host parse; the native indexer replaces this on hot paths)
-        recs = [hi.parse_block_header(raw, b) for b in block_bits]
+        # headers: native parse when available, Python referee otherwise
+        if native.available():
+            recs = [native.parse_block_header(raw, b) for b in block_bits]
+        else:
+            recs = [hi.parse_block_header(raw, b) for b in block_bits]
 
         pad = (-len(raw)) % 4 + 8
         words = jnp.asarray(

@@ -1,0 +1,167 @@
+"""ctypes binding for the native host inflator/indexer (native/jdnative.cpp).
+
+Builds the shared library on first use with the in-image toolchain (g++);
+falls back gracefully (returns None) so the pure-Python referee keeps working
+in environments without a compiler.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from ..utils import errors
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO, "native", "jdnative.cpp")
+_SO = os.path.join(_REPO, "native", "build", "libjdnative.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_ERRORS = {
+    -1: errors.BadCodeError,
+    -2: errors.BadTreeError,
+    -3: errors.FarOffsetError,
+    -4: errors.BadBlockError,
+    -5: errors.InputEndError,
+    -6: errors.BadBlockError,   # output overflow: corrupt or caller bug
+    -7: errors.BadBlockError,
+}
+
+_META_FIELDS = 9   # i64 per BlockMeta record
+
+
+def _build() -> str | None:
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC],
+            check=True, capture_output=True, timeout=120)
+        return _SO
+    except Exception:
+        return None
+
+
+def get_lib():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        path = _SO if os.path.exists(_SO) else _build()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            return None
+        lib.jd_parse_header.restype = ctypes.c_int
+        lib.jd_parse_header.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.jd_inflate.restype = ctypes.c_int
+        lib.jd_inflate.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def parse_block_header(raw: bytes, bit_pos: int):
+    """Native header parse -> BlockRecord (no symbol decode)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    ll = np.zeros(288, np.uint8)
+    dl = np.zeros(32, np.uint8)
+    info = np.zeros(6, np.int64)
+    r = lib.jd_parse_header(
+        raw, len(raw), bit_pos,
+        ll.ctypes.data_as(ctypes.c_void_p), dl.ctypes.data_as(ctypes.c_void_p),
+        info.ctypes.data_as(ctypes.c_void_p))
+    if r != 0:
+        raise _ERRORS.get(r, errors.JDeflateError)(f"native header error {r}")
+    from .host_inflate import BlockRecord
+    btype, bfinal, hlit, hdist, sym_bit, stored_len = (int(x) for x in info)
+    if btype == 0:
+        return BlockRecord(bit_pos, 0, bool(bfinal), 0, stored_len, sym_bit)
+    return BlockRecord(bit_pos, btype, bool(bfinal), 0, 0, sym_bit,
+                       ll[:hlit].astype(np.int64), dl[:hdist].astype(np.int64))
+
+
+def inflate(raw: bytes, dictionary: bytes = b"", start_bit: int = 0,
+            out_cap: int | None = None, want_index: bool = False):
+    """Native inflate. Returns (out_bytes, records, end_bit) like the Python
+    referee; records is a list of stream.host_inflate.BlockRecord."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if out_cap is None:
+        out_cap = max(len(raw) * 40, 1 << 20)
+    while True:
+        dst = np.empty(out_cap, np.uint8)
+        dstlen = ctypes.c_size_t(0)
+        nblocks = ctypes.c_size_t(0)
+        endbit = ctypes.c_int64(0)
+        if want_index:
+            metacap = max(64, len(raw) // 16 + 8)
+            meta = np.zeros((metacap, _META_FIELDS), np.int64)
+            lenscap = metacap * 320
+            lens = np.zeros(lenscap, np.uint8)
+            r = lib.jd_inflate(
+                raw, len(raw), start_bit, dictionary, len(dictionary),
+                dst.ctypes.data_as(ctypes.c_void_p), out_cap,
+                ctypes.byref(dstlen),
+                meta.ctypes.data_as(ctypes.c_void_p), metacap,
+                ctypes.byref(nblocks),
+                lens.ctypes.data_as(ctypes.c_void_p), lenscap,
+                ctypes.byref(endbit))
+        else:
+            meta = lens = None
+            r = lib.jd_inflate(
+                raw, len(raw), start_bit, dictionary, len(dictionary),
+                dst.ctypes.data_as(ctypes.c_void_p), out_cap,
+                ctypes.byref(dstlen),
+                None, 0, ctypes.byref(nblocks), None, 0, ctypes.byref(endbit))
+        if r == -6 and out_cap < (1 << 34):       # grow output and retry
+            out_cap *= 4
+            continue
+        break
+    if r != 0:
+        raise _ERRORS.get(r, errors.JDeflateError)(f"native inflate error {r}")
+
+    records = []
+    if want_index:
+        from .host_inflate import BlockRecord
+        from ..formats import constants as C
+        for i in range(int(nblocks.value)):
+            (bit, btype, bfinal, out_off, out_len, sym_bit,
+             lens_off, hlit, hdist) = (int(x) for x in meta[i])
+            if btype == 2 and lens_off >= 0:
+                ll = meta_lens = lens[lens_off:lens_off + hlit].astype(np.int64)
+                dl = lens[lens_off + hlit:lens_off + hlit + hdist].astype(np.int64)
+            elif btype == 1:
+                ll = C.FIXED_LITLEN_LENGTHS.copy()
+                dl = C.FIXED_DIST_LENGTHS.copy()
+            else:
+                ll = dl = None
+            records.append(BlockRecord(bit, btype, bool(bfinal), out_off,
+                                       out_len, sym_bit, ll, dl))
+    return dst[:int(dstlen.value)].tobytes(), records, int(endbit.value)
