@@ -395,12 +395,14 @@ class RawDeflater:
                                  "sync_points": [], "n": 0}
         dict_bytes = (dictionary or b"")[-C.WINDOW_SIZE:]
         nblocks = (n + bl - 1) // bl
-        npad = nblocks * bl
-        buf = np.zeros(HALO + npad + PAD, np.uint8)
-        if dict_bytes:
-            buf[HALO - len(dict_bytes):HALO] = np.frombuffer(dict_bytes, np.uint8)
-        buf[HALO:HALO + n] = np.frombuffer(data, np.uint8)
-        dev = jnp.asarray(buf)
+        arr = np.frombuffer(data, np.uint8)
+
+        # Fixed-shape segments: one compiled program regardless of input size.
+        # Each device call sees exactly (HALO + batch*bl + PAD) bytes; the
+        # segment's halo is the preceding 32 KiB of the stream (or the preset
+        # dictionary for the first segment).
+        seg = batch * bl
+        buf = np.zeros(HALO + seg + PAD, np.uint8)
 
         nw = words_bound(bl, batch)
         out = bytearray()
@@ -409,9 +411,21 @@ class RawDeflater:
         sync_points = []
         final_idx = nblocks - 1 if final else -1
         for b0 in range(0, nblocks, batch):
+            s = b0 * bl
+            seg_n = min(n - s, seg)
+            buf[:] = 0
+            h = min(HALO, s + len(dict_bytes))
+            if s >= HALO:
+                buf[0:HALO] = arr[s - HALO:s]
+            elif h:
+                hist = dict_bytes[len(dict_bytes) - (h - s):] + data[:s] \
+                    if h > s else data[s - h:s]
+                buf[HALO - h:HALO] = np.frombuffer(hist, np.uint8)
+            buf[HALO:HALO + seg_n] = arr[s:s + seg_n]
+            dev = jnp.asarray(buf)
             words, total, per_block, _ = encode_batch(
-                dev, jnp.int32(b0), jnp.int32(n), jnp.int32(len(dict_bytes)),
-                jnp.int32(final_idx), bl, batch, self.level, nw)
+                dev, jnp.int32(0), jnp.int32(seg_n), jnp.int32(h),
+                jnp.int32(final_idx - b0), bl, batch, self.level, nw)
             total = int(total)
             wb = np.asarray(words).view(np.uint8)  # little-endian words
             pb = np.asarray(per_block)

@@ -134,10 +134,11 @@ class RawInflater:
         else:
             recs = [hi.parse_block_header(raw, b) for b in block_bits]
 
-        pad = (-len(raw)) % 4 + 8
-        words = jnp.asarray(
-            np.frombuffer(raw + b"\x00" * pad, dtype=np.uint8)
-            .view(np.uint32))
+        # fixed-size word window per batch call -> one compiled program per
+        # (nbits, nblocks, max_syms, out_cap) bucket, independent of stream size
+        rawpad = raw + b"\x00" * ((-len(raw)) % 4 + 64)
+        raw_np = np.frombuffer(rawpad, dtype=np.uint8)
+        wwords = (self.max_batch_bits >> 5) + 16
 
         out = bytearray()
         window = bytearray(dictionary[-HALO:])
@@ -167,6 +168,13 @@ class RawInflater:
                 j += 1
             run = list(range(i, j))
             b0 = block_bits[i]
+            word_lo = b0 >> 5
+            bit_local = b0 - (word_lo << 5)
+            wbytes = raw_np[word_lo * 4: word_lo * 4 + wwords * 4]
+            if len(wbytes) < wwords * 4:
+                wbytes = np.concatenate(
+                    [wbytes, np.zeros(wwords * 4 - len(wbytes), np.uint8)])
+            words = jnp.asarray(wbytes.view(np.uint32))
             nbits = _bucket(bits_end - b0, 1 << 12)
             nb = _bucket(len(run), 4)
             ms = _bucket(max(out_lens[k] for k in run) + 2, 256)
@@ -189,9 +197,9 @@ class RawInflater:
                 halo[HALO - len(h):] = np.frombuffer(h, np.uint8)
 
             o, produced, err = decode_batch(
-                words, jnp.int32(b0), jnp.asarray(starts), jnp.asarray(syms),
-                jnp.asarray(ll), jnp.asarray(dl), jnp.asarray(halo),
-                nbits, nb, ms, oc)
+                words, jnp.int32(bit_local), jnp.asarray(starts),
+                jnp.asarray(syms), jnp.asarray(ll), jnp.asarray(dl),
+                jnp.asarray(halo), nbits, nb, ms, oc)
             produced = int(produced)
             if int(err) or produced != total_out:
                 raise errors.BadBlockError(
