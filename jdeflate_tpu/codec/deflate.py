@@ -101,48 +101,22 @@ def _rle_emit(comb: jnp.ndarray):
     return sym, extra, emit
 
 
-def _encode_one_block(ext, block_len, valid_from, bfinal, cfg: levels_mod.LevelConfig,
-                      bl: int):
-    """Per-block portion of the pipeline (vmapped). Returns flat item arrays."""
-    length, dist = lz77.find_matches(ext, block_len, valid_from, HALO, bl,
-                                     cfg.probes, cfg.rerank)
-    nxt, take = lz77.parse(length, dist, block_len, bl, cfg.lazy, cfg.good_length)
-    p = lz77.orbit(nxt, bl)
+def _block_entropy(lfreq, dfreq, block_len, cfg: levels_mod.LevelConfig):
+    """Per-block entropy stage (vmapped; all arrays are tiny): dynamic trees,
+    precode RLE, header items, exact static-vs-dynamic cost decision.
 
-    valid = p < block_len
-    t_take = jnp.where(valid, take[jnp.minimum(p, bl - 1)], False)
-    t_len = jnp.where(t_take, length[jnp.minimum(p, bl - 1)], 0)
-    t_dist = jnp.where(t_take, dist[jnp.minimum(p, bl - 1)], 0)
-    t_lit = ext[HALO + jnp.minimum(p, bl - 1)].astype(jnp.int32)
-
-    ltos = jnp.asarray(C.LENGTH_TO_SYMBOL)
-    ltoe = jnp.asarray(C.LENGTH_TO_EXTRA_VAL)
+    Returns (hdr_lo, hdr_nb (HDR_ITEMS,), el, er (286,), edl, edr (30,),
+    eob_lo, eob_nb) — emission tables already select dynamic vs fixed codes.
+    """
     lext_bits = jnp.concatenate(
         [jnp.zeros(257, jnp.int32), jnp.asarray(C.LENGTH_EXTRA)])
-    dlo = jnp.asarray(C.DIST_TO_SYMBOL_LO)
-    dhi = jnp.asarray(C.DIST_TO_SYMBOL_HI)
     dext_bits = jnp.asarray(C.DIST_EXTRA)
-    dbase = jnp.asarray(C.DIST_BASE)
-
-    lsym = jnp.where(t_take, ltos[jnp.maximum(t_len - 3, 0)], t_lit)
-    lextra = jnp.where(t_take, ltoe[jnp.maximum(t_len - 3, 0)], 0)
-    dsym = jnp.where(t_dist <= 256, dlo[jnp.maximum(t_dist - 1, 0)],
-                     dhi[(jnp.maximum(t_dist - 1, 0) >> 7) & 255])
-    dextra = t_dist - dbase[jnp.minimum(dsym, 29)]
-
-    # frequencies
-    lfreq = jnp.zeros(C.NUM_LITLEN_USED, jnp.int32).at[
-        jnp.where(valid, lsym, 0)].add(valid.astype(jnp.int32))
-    nonempty = (block_len > 0).astype(jnp.int32)
-    lfreq = lfreq.at[C.EOB].add(nonempty)
-    dfreq = jnp.zeros(C.NUM_DIST_USED, jnp.int32).at[
-        jnp.where(t_take & valid, dsym, 0)].add((t_take & valid).astype(jnp.int32))
 
     # dynamic trees
     dl = huffman.code_lengths(lfreq, C.MAX_CODE_BITS)
-    dlc, dlr = huffman.canonical_codes(dl, C.MAX_CODE_BITS)
+    _, dlr = huffman.canonical_codes(dl, C.MAX_CODE_BITS)
     dd = huffman.code_lengths(dfreq, C.MAX_CODE_BITS)
-    ddc, ddr = huffman.canonical_codes(dd, C.MAX_CODE_BITS)
+    _, ddr = huffman.canonical_codes(dd, C.MAX_CODE_BITS)
 
     # header: HLIT/HDIST + combined length array + RLE
     symidx = jnp.arange(C.NUM_LITLEN_USED, dtype=jnp.int32)
@@ -160,7 +134,7 @@ def _encode_one_block(ext, block_len, valid_from, bfinal, cfg: levels_mod.LevelC
     pfreq = jnp.zeros(C.NUM_PRECODE, jnp.int32).at[rle_sym].add(
         rle_emit.astype(jnp.int32))
     pl = huffman.code_lengths(pfreq, C.MAX_PRECODE_BITS)
-    plc, plr = huffman.canonical_codes(pl, C.MAX_PRECODE_BITS)
+    _, plr = huffman.canonical_codes(pl, C.MAX_PRECODE_BITS)
     porder = jnp.asarray(C.PRECODE_ORDER)
     pl_perm = pl[porder]
     pidx = jnp.arange(C.NUM_PRECODE, dtype=jnp.int32)
@@ -187,59 +161,32 @@ def _encode_one_block(ext, block_len, valid_from, bfinal, cfg: levels_mod.LevelC
     edl = jnp.where(use_dyn, dd, fdl)
     edr = jnp.where(use_dyn, ddr, fdr).astype(jnp.uint32)
 
-    # ---- items ----
-    nitems = HDR_ITEMS + bl + 1
-    lo = jnp.zeros(nitems, jnp.uint32)
-    hi = jnp.zeros(nitems, jnp.uint32)
-    nb = jnp.zeros(nitems, jnp.int32)
-
+    # ---- header items ----
+    hdr_lo = jnp.zeros(HDR_ITEMS, jnp.uint32)
+    hdr_nb = jnp.zeros(HDR_ITEMS, jnp.int32)
     live = block_len > 0
     btype = jnp.where(use_dyn, 2, 1).astype(jnp.uint32)
-    lo = lo.at[0].set(bfinal.astype(jnp.uint32) | (btype << 1))
-    nb = nb.at[0].set(jnp.where(live, 3, 0))
+    hdr_lo = hdr_lo.at[0].set(btype << 1)        # BFINAL or'd in at batch level
+    hdr_nb = hdr_nb.at[0].set(jnp.where(live, 3, 0))
 
     dynhdr = ((hlit - 257) | ((hdist - 1) << 5) | (hclen << 10)).astype(jnp.uint32)
-    lo = lo.at[1].set(jnp.where(use_dyn, dynhdr, 0))
-    nb = nb.at[1].set(jnp.where(live & use_dyn, 14, 0))
+    hdr_lo = hdr_lo.at[1].set(jnp.where(use_dyn, dynhdr, 0))
+    hdr_nb = hdr_nb.at[1].set(jnp.where(live & use_dyn, 14, 0))
 
     pc_n = jnp.where(live & use_dyn & (pidx < hclen + 4), 3, 0)
-    lo = lo.at[2:21].set(jnp.where(pc_n > 0, pl_perm.astype(jnp.uint32), 0))
-    nb = nb.at[2:21].set(pc_n)
+    hdr_lo = hdr_lo.at[2:21].set(jnp.where(pc_n > 0, pl_perm.astype(jnp.uint32), 0))
+    hdr_nb = hdr_nb.at[2:21].set(pc_n)
 
     rle_n = jnp.where(live & use_dyn & rle_emit,
                       pl[rle_sym] + pextra_bits[rle_sym], 0)
     rle_v = (plr[rle_sym].astype(jnp.uint32)
              | (rle_extra.astype(jnp.uint32) << pl[rle_sym].astype(jnp.uint32)))
-    nrle = comb.shape[0]
-    lo = lo.at[21:21 + nrle].set(jnp.where(rle_n > 0, rle_v, 0))
-    nb = nb.at[21:21 + nrle].set(rle_n)
+    hdr_lo = hdr_lo.at[21:21 + ncomb].set(jnp.where(rle_n > 0, rle_v, 0))
+    hdr_nb = hdr_nb.at[21:21 + ncomb].set(rle_n)
 
-    # tokens
-    tv_lo = jnp.zeros(bl, jnp.uint32)
-    tv_hi = jnp.zeros(bl, jnp.uint32)
-    tv_n = jnp.zeros(bl, jnp.int32)
-    # literal path
-    lit_lo = er[t_lit]
-    lit_n = el[t_lit]
-    # match path: lcode + lextra + dcode + dextra
-    m_lo, m_hi, m_n = er[lsym], jnp.zeros(bl, jnp.uint32), el[lsym]
-    m_lo, m_hi, m_n = bitpack.append_bits(m_lo, m_hi, m_n, lextra, lext_bits[lsym])
-    m_lo, m_hi, m_n = bitpack.append_bits(m_lo, m_hi, m_n, edr[dsym], edl[dsym])
-    m_lo, m_hi, m_n = bitpack.append_bits(
-        m_lo, m_hi, m_n, dextra, dext_bits[jnp.minimum(dsym, 29)])
-    tv_lo = jnp.where(t_take, m_lo, lit_lo)
-    tv_hi = jnp.where(t_take, m_hi, 0)
-    tv_n = jnp.where(valid, jnp.where(t_take, m_n, lit_n), 0)
-
-    lo = lo.at[HDR_ITEMS:HDR_ITEMS + bl].set(jnp.where(tv_n > 0, tv_lo, 0))
-    hi = hi.at[HDR_ITEMS:HDR_ITEMS + bl].set(jnp.where(tv_n > 0, tv_hi, 0))
-    nb = nb.at[HDR_ITEMS:HDR_ITEMS + bl].set(tv_n)
-
-    lo = lo.at[-1].set(jnp.where(live, er[C.EOB], 0))
-    nb = nb.at[-1].set(jnp.where(live, el[C.EOB], 0))
-
-    ntok = jnp.sum(valid.astype(jnp.int32))
-    return lo, hi, nb, ntok
+    eob_lo = jnp.where(live, er[C.EOB], 0)
+    eob_nb = jnp.where(live, el[C.EOB], 0)
+    return hdr_lo, hdr_nb, el, er, edl, edr, eob_lo, eob_nb
 
 
 def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
@@ -274,9 +221,93 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
         lambda s: jax.lax.dynamic_slice(data, (s,), (HALO + bl + PAD,))
     )(starts)
 
-    lo, hi, nb, ntok = jax.vmap(
-        lambda e, n, v, f: _encode_one_block(e, n, v, f, cfg, bl)
-    )(ext, block_len, valid_from, bfinal)
+    # ---- batch-flat token pipeline (see ops/lz77.py layout note) ----
+    B = batch
+    row = HALO + bl + PAD
+    length, dist = lz77.find_matches_batch(
+        ext, block_len, valid_from, HALO, bl, PAD, max(cfg.probes, 1),
+        cfg.rerank)
+    next_flat, take = lz77.parse_batch(length, dist, block_len, bl,
+                                       cfg.lazy, cfg.good_length)
+    p = lz77.orbit_batch(next_flat, B, bl)            # (B, bl) local
+    valid = p < block_len[:, None]
+    pc = jnp.minimum(p, bl - 1)
+    fb = (jnp.arange(B, dtype=jnp.int32) * bl)[:, None]
+    fidx = fb + pc
+    t_take = jnp.where(valid, take.reshape(-1)[fidx], False)
+    t_len = jnp.where(t_take, length.reshape(-1)[fidx], 0)
+    t_dist = jnp.where(t_take, dist.reshape(-1)[fidx], 0)
+    ext_f = ext.reshape(-1)
+    eb = (jnp.arange(B, dtype=jnp.int32) * row)[:, None]
+    t_lit = ext_f[eb + HALO + pc].astype(jnp.int32)
+
+    ltos = jnp.asarray(C.LENGTH_TO_SYMBOL)
+    ltoe = jnp.asarray(C.LENGTH_TO_EXTRA_VAL)
+    lext_bits = jnp.concatenate(
+        [jnp.zeros(257, jnp.int32), jnp.asarray(C.LENGTH_EXTRA)])
+    dlo_t = jnp.asarray(C.DIST_TO_SYMBOL_LO)
+    dhi_t = jnp.asarray(C.DIST_TO_SYMBOL_HI)
+    dext_bits = jnp.asarray(C.DIST_EXTRA)
+    dbase = jnp.asarray(C.DIST_BASE)
+
+    lsym = jnp.where(t_take, ltos[jnp.maximum(t_len - 3, 0)], t_lit)
+    lextra = jnp.where(t_take, ltoe[jnp.maximum(t_len - 3, 0)], 0)
+    dsym = jnp.where(t_dist <= 256, dlo_t[jnp.maximum(t_dist - 1, 0)],
+                     dhi_t[(jnp.maximum(t_dist - 1, 0) >> 7) & 255])
+    dsym = jnp.minimum(dsym, 29)
+    dextra = t_dist - dbase[dsym]
+
+    # frequencies (flat scatter-add across the whole batch)
+    vi = valid.astype(jnp.int32)
+    lfreq = jnp.zeros(B * C.NUM_LITLEN_USED, jnp.int32).at[
+        (jnp.arange(B, dtype=jnp.int32) * C.NUM_LITLEN_USED)[:, None]
+        + jnp.where(valid, lsym, 0)].add(vi).reshape(B, C.NUM_LITLEN_USED)
+    lfreq = lfreq.at[:, C.EOB].add((block_len > 0).astype(jnp.int32))
+    mt = (t_take & valid).astype(jnp.int32)
+    dfreq = jnp.zeros(B * C.NUM_DIST_USED, jnp.int32).at[
+        (jnp.arange(B, dtype=jnp.int32) * C.NUM_DIST_USED)[:, None]
+        + jnp.where(t_take & valid, dsym, 0)].add(mt).reshape(B, C.NUM_DIST_USED)
+
+    hdr_lo, hdr_nb, el, er, edl, edr, eob_lo, eob_nb = jax.vmap(
+        lambda lf, df, n: _block_entropy(lf, df, n, cfg)
+    )(lfreq, dfreq, block_len)
+    hdr_lo = hdr_lo.at[:, 0].set(
+        hdr_lo[:, 0] | bfinal.astype(jnp.uint32))
+
+    # token item values via flat per-block emission-table gathers
+    el_f = el.reshape(-1)
+    er_f = er.reshape(-1)
+    edl_f = edl.reshape(-1)
+    edr_f = edr.reshape(-1)
+    lb = (jnp.arange(B, dtype=jnp.int32) * C.NUM_LITLEN_USED)[:, None]
+    db = (jnp.arange(B, dtype=jnp.int32) * C.NUM_DIST_USED)[:, None]
+    lit_lo = er_f[lb + t_lit]
+    lit_n = el_f[lb + t_lit]
+    m_lo = er_f[lb + lsym]
+    m_hi = jnp.zeros((B, bl), jnp.uint32)
+    m_n = el_f[lb + lsym]
+    m_lo, m_hi, m_n = bitpack.append_bits(m_lo, m_hi, m_n, lextra,
+                                          lext_bits[lsym])
+    m_lo, m_hi, m_n = bitpack.append_bits(m_lo, m_hi, m_n, edr_f[db + dsym],
+                                          edl_f[db + dsym])
+    m_lo, m_hi, m_n = bitpack.append_bits(m_lo, m_hi, m_n, dextra,
+                                          dext_bits[dsym])
+    tv_lo = jnp.where(t_take, m_lo, lit_lo)
+    tv_hi = jnp.where(t_take, m_hi, 0)
+    tv_n = jnp.where(valid, jnp.where(t_take, m_n, lit_n), 0)
+
+    nitems = HDR_ITEMS + bl + 1
+    lo = jnp.zeros((B, nitems), jnp.uint32)
+    hi = jnp.zeros((B, nitems), jnp.uint32)
+    nb = jnp.zeros((B, nitems), jnp.int32)
+    lo = lo.at[:, :HDR_ITEMS].set(hdr_lo)
+    nb = nb.at[:, :HDR_ITEMS].set(hdr_nb)
+    lo = lo.at[:, HDR_ITEMS:HDR_ITEMS + bl].set(jnp.where(tv_n > 0, tv_lo, 0))
+    hi = hi.at[:, HDR_ITEMS:HDR_ITEMS + bl].set(jnp.where(tv_n > 0, tv_hi, 0))
+    nb = nb.at[:, HDR_ITEMS:HDR_ITEMS + bl].set(tv_n)
+    lo = lo.at[:, -1].set(eob_lo)
+    nb = nb.at[:, -1].set(eob_nb)
+    ntok = jnp.sum(vi)
 
     # ---- stored-block fallback (compress0 semantics, deflator.c:796-926) ----
     # A stored block costs 3 hdr bits + pad-to-byte + 32 LEN/NLEN bits + 8n,

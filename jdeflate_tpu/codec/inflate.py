@@ -52,8 +52,8 @@ def decode_batch(words: jnp.ndarray, bit_lo: jnp.ndarray,
     """
     lk, le, lp = dk.litlen_attrs()
     dkk, de, dp = dk.dist_attrs()
-    ltab = jax.vmap(lambda l: dk.build_table(l, lk, le, lp))(ll)
-    dtab = jax.vmap(lambda l: dk.build_table(l, dkk, de, dp))(dl)
+    ltab = dk.build_tables_batch(ll, lk, le, lp)
+    dtab = dk.build_tables_batch(dl, dkk, de, dp)
 
     p = jnp.arange(nbits, dtype=jnp.int32)
     bid = jnp.clip(

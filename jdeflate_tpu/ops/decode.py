@@ -51,33 +51,49 @@ def _rev15() -> np.ndarray:
     return r.astype(np.int32)
 
 
-def build_table(lengths: jnp.ndarray, kinds: jnp.ndarray, extras: jnp.ndarray,
-                payloads: jnp.ndarray) -> jnp.ndarray:
-    """Flat decode table from code lengths (one tree; vmap over blocks).
+def build_tables_batch(lengths: jnp.ndarray, kinds: jnp.ndarray,
+                       extras: jnp.ndarray, payloads: jnp.ndarray) -> jnp.ndarray:
+    """Flat decode tables for a batch of trees at once.
 
-    lengths: (n,) i32; kinds/extras/payloads: (n,) i32 per-symbol attributes.
-    Slots not covered by any code decode as invalid (kind 0) — foreign-stream
-    validation relies on this (cf. inflator.c:454-474).
+    lengths: (B, n) i32 per-block code lengths; kinds/extras/payloads: (n,)
+    shared per-symbol attributes. Returns (B * TABLE_SIZE,) u32 — block b's
+    table occupies [b*TABLE_SIZE, (b+1)*TABLE_SIZE). Slots not covered by any
+    code decode as invalid (kind 0) — foreign-stream validation relies on
+    this (cf. inflator.c:454-474).
+
+    Batched searchsorted is expressed as ONE flat searchsorted by placing each
+    block's MSB-aligned interval starts in disjoint value ranges (b << 15 |
+    start) — avoids TPU's slow batched-gather lowering.
     """
-    n = lengths.shape[0]
+    B, n = lengths.shape
     l = lengths.astype(jnp.int32)
-    codes, _ = huffman.canonical_codes(l, C.MAX_CODE_BITS)
+    codes = jax.vmap(lambda x: huffman.canonical_codes(x, C.MAX_CODE_BITS)[0])(l)
     used = l > 0
-    # MSB-aligned interval starts, sorted by (len, code) == canonical order
+    # MSB-aligned interval starts, canonical order == ascending (len, code)
     key = jnp.where(used, (l << 16) | codes, jnp.int32(0x7FFFFFFF))
-    order = jnp.argsort(key)
-    l_s = l[order]
-    start_s = jnp.where(used[order],
-                        codes[order] << jnp.maximum(TABLE_BITS - l_s, 0),
-                        jnp.int32(0x7FFFFFFF))
-    width_s = jnp.where(used[order], 1 << jnp.maximum(TABLE_BITS - l_s, 0), 0)
+    order = jnp.argsort(key, axis=1)                    # (B, n)
+    bflat = (jnp.arange(B, dtype=jnp.int32) * n)[:, None]
+    order_f = (bflat + order).reshape(-1)
+    l_s = l.reshape(-1)[order_f]
+    used_s = used.reshape(-1)[order_f]
+    codes_s = codes.reshape(-1)[order_f]
+    start_s = jnp.where(used_s,
+                        codes_s << jnp.clip(TABLE_BITS - l_s, 0, TABLE_BITS),
+                        TABLE_SIZE)
+    width_s = jnp.where(used_s, 1 << jnp.clip(TABLE_BITS - l_s, 0, TABLE_BITS), 0)
+    blk = jnp.repeat(jnp.arange(B, dtype=jnp.int32), n)
+    flat_starts = blk * (TABLE_SIZE + 1) + start_s       # strictly segmented
 
-    t_msb = jnp.asarray(_rev15())                       # slot -> MSB-aligned code
-    j = jnp.searchsorted(start_s, t_msb, side="right").astype(jnp.int32) - 1
-    jc = jnp.clip(j, 0, n - 1)
-    covered = (j >= 0) & (t_msb < start_s[jc] + width_s[jc])
-    sym = order[jc]
-    entry = (l[sym]
+    t_msb = jnp.asarray(_rev15())                        # (TABLE_SIZE,)
+    qblk = jnp.repeat(jnp.arange(B, dtype=jnp.int32), TABLE_SIZE)
+    q = qblk * (TABLE_SIZE + 1) + jnp.tile(t_msb, B)
+    j = jnp.searchsorted(flat_starts, q, side="right").astype(jnp.int32) - 1
+    jc = jnp.clip(j, 0, B * n - 1)
+    same_blk = (jc // n) == qblk
+    tq = jnp.tile(t_msb, B)
+    covered = (j >= 0) & same_blk & (tq < start_s[jc] + width_s[jc])
+    sym = (order_f[jc] - (jc // n) * n)
+    entry = (l.reshape(-1)[order_f[jc]]
              | (kinds[sym] << 5)
              | (extras[sym] << 8)
              | (payloads[sym] << 16)).astype(jnp.uint32)
@@ -127,14 +143,15 @@ def wavefront_decode(words: jnp.ndarray, bit_lo: jnp.ndarray, nbits: int,
 
     words: (W,) u32 whole-stream words (+1 pad word).
     bid: (nbits,) i32 block id per position (tables are per block).
-    ltab/dtab: (B, 32768) u32.
+    ltab/dtab: (B * 32768,) u32 flat per-block tables.
 
     Returns (f_local, outlen, lit, dist, flags): each (nbits + 1,) with an
     absorbing sentinel at index nbits. f_local is the next symbol position in
     local coords; EOB maps to the sentinel. flags bit0 = invalid entry.
     """
     p = bit_lo + jnp.arange(nbits, dtype=jnp.int32)
-    e1 = ltab[bid, extract_bits(words, p, TABLE_BITS).astype(jnp.int32)]
+    tb = bid * TABLE_SIZE
+    e1 = ltab[tb + extract_bits(words, p, TABLE_BITS).astype(jnp.int32)]
     c1 = (e1 & 31).astype(jnp.int32)
     k1 = ((e1 >> 5) & 7).astype(jnp.int32)
     ex1 = ((e1 >> 8) & 15).astype(jnp.int32)
@@ -151,7 +168,7 @@ def wavefront_decode(words: jnp.ndarray, bit_lo: jnp.ndarray, nbits: int,
     lext = extract_bits(words, p_ext, ex1).astype(jnp.int32)
     length = pay1 + lext
     p2 = p_ext + ex1
-    e2 = dtab[bid, extract_bits(words, p2, TABLE_BITS).astype(jnp.int32)]
+    e2 = dtab[tb + extract_bits(words, p2, TABLE_BITS).astype(jnp.int32)]
     c2 = (e2 & 31).astype(jnp.int32)
     k2 = ((e2 >> 5) & 7).astype(jnp.int32)
     ex2 = ((e2 >> 8) & 15).astype(jnp.int32)

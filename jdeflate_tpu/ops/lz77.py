@@ -5,19 +5,22 @@ linked chains (head/chain arrays, hash mult 0x1e35a7bd, src/deflator.c:32-70,
 1930-1947), compares candidates word-at-a-time with a 258-byte cap
 (getmatchlength, src/deflator.c:1977-2101), parses greedily for levels 1-5
 (accept only len>3, compress1 src/deflator.c:2430-2520) and lazily for levels
-6-9 with a one-position lookahead and the acceptance heuristic
-`diff>4 || 4*diff + log2(prev_off) - log2(new_off) >= 2`, a good-length
-immediate-accept, and rejection of len-3 matches with offset>8192
-(compress2/getmatch2, src/deflator.c:2605-2973).
+6-9 with a one-position lookahead (compress2/getmatch2,
+src/deflator.c:2605-2973).
 
 TPU-first design (BASELINE.json north star): instead of pointer-chasing
 chains, all positions are hashed in parallel and sorted by (hash, pos); the K
 immediately-preceding same-hash positions are exactly the first K entries the
-reference's chain walk would visit, but gatherable as a batch. Match lengths
-are vectorized 4-byte word compares with an unrolled 16-byte-step extension.
-The sequential greedy/lazy cursor walk becomes a purely local decision rule
-plus an orbit computation (pointer doubling over next[]), so the whole parse
-is O(log n) parallel steps. Everything vmaps over a batch of blocks.
+reference's chain walk would visit, but gatherable as a batch. The sequential
+greedy/lazy cursor walk becomes a purely local decision rule plus an orbit
+computation (pointer doubling over next[]), so the whole parse is O(log n)
+parallel steps.
+
+Performance-critical layout note: XLA-on-TPU lowers *batched* gathers (vmap
+over a gather) orders of magnitude slower than flat 1-D gathers (measured
+~400x on v5e). Everything here therefore operates on FLAT arrays over the
+whole block batch — (B*L,) with explicit per-block base offsets — and probe
+loops are `fori_loop`s to keep compile time bounded.
 """
 from __future__ import annotations
 
@@ -39,10 +42,20 @@ def _floor_log2(x: jnp.ndarray) -> jnp.ndarray:
     return ((bits >> 23) & 0xFF) - 127
 
 
-def _words_le(ext: jnp.ndarray) -> jnp.ndarray:
-    """w[p] = 4 bytes at p as a little-endian u32, defined for p < len-3."""
+def _words_le_flat(ext: jnp.ndarray, b: int, row: int) -> jnp.ndarray:
+    """w[p] = 4 bytes at p as little-endian u32 over a flat (b*row,) buffer.
+
+    Rows are independent blocks laid out contiguously; positions within the
+    last 3 bytes of a row read into the next row, but valid accesses never go
+    there (each row carries its own PAD tail).
+    """
     e = ext.astype(jnp.uint32)
-    return e[:-3] | (e[1:-2] << 8) | (e[2:-1] << 16) | (e[3:] << 24)
+    n = e.shape[0]
+    w = e
+    w = w | jnp.concatenate([e[1:], jnp.zeros(1, jnp.uint32)]) << 8
+    w = w | jnp.concatenate([e[2:], jnp.zeros(2, jnp.uint32)]) << 16
+    w = w | jnp.concatenate([e[3:], jnp.zeros(3, jnp.uint32)]) << 24
+    return w
 
 
 def _lead_eq_bytes(x: jnp.ndarray) -> jnp.ndarray:
@@ -54,108 +67,130 @@ def _lead_eq_bytes(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _cmp16(w, a, b):
-    """Exact common-prefix length of ext[a:] vs ext[b:] capped at 16 bytes."""
-    wa = jnp.stack([w[a], w[a + 4], w[a + 8], w[a + 12]])
-    wb = jnp.stack([w[b], w[b + 4], w[b + 8], w[b + 12]])
-    eq = wa == wb
-    run = eq[0].astype(jnp.int32)
-    m4 = run
-    for t in range(1, 4):
-        run = run * eq[t].astype(jnp.int32)
-        m4 = m4 + run
-    mi = jnp.minimum(m4, 3)
-    x = jnp.take_along_axis(wa, mi[None, :], axis=0)[0] ^ \
-        jnp.take_along_axis(wb, mi[None, :], axis=0)[0]
-    return jnp.where(m4 >= 4, 16, 4 * m4 + _lead_eq_bytes(x))
+    """Exact common-prefix length of ext[a:] vs ext[b:] capped at 16 bytes.
+
+    a, b: flat absolute indices (any shape, same shape)."""
+    l = jnp.zeros(a.shape, jnp.int32)
+    run = jnp.ones(a.shape, jnp.int32)
+    first_x = jnp.zeros(a.shape, jnp.uint32)
+    for t in range(4):
+        wa = w[a + 4 * t]
+        wb = w[b + 4 * t]
+        eq = wa == wb
+        x = wa ^ wb
+        first_x = jnp.where((run == 1) & ~eq, x, first_x)
+        stop_here = (run == 1) & ~eq
+        l = l + jnp.where(run == 1, jnp.where(eq, 4, 0), 0)
+        run = run * eq.astype(jnp.int32)
+    return jnp.minimum(l + jnp.where(l < 16, _lead_eq_bytes(first_x), 0), 16)
 
 
 def _extend(w, qi, cand, length):
     """Extend exact 16-byte-capped lengths to the 258-byte format cap."""
-    for s in range(1, MAX_EXT_STEPS + 1):
+    def step(s, length):
         active = length == 16 * s
         add = _cmp16(w, qi + 16 * s, cand + 16 * s)
-        length = jnp.where(active, length + add, length)
-    return length
+        return jnp.where(active, length + add, length)
+    return jax.lax.fori_loop(1, MAX_EXT_STEPS + 1, step, length)
 
 
-def find_matches(ext: jnp.ndarray, block_len: jnp.ndarray, valid_from: jnp.ndarray,
-                 halo: int, bl: int, k: int, rerank: int = 0):
-    """Best match per block position.
+def find_matches_batch(ext: jnp.ndarray, block_len: jnp.ndarray,
+                       valid_from: jnp.ndarray, halo: int, bl: int, pad: int,
+                       k: int, rerank: int = 0):
+    """Best match per position for a whole batch of blocks at once.
 
-    ext: (halo + bl + pad,) u8 — halo bytes of history, bl block bytes, zero pad
-      (pad >= MAX_MATCH + 8).
-    block_len: scalar i32, true block length (<= bl).
-    valid_from: scalar i32, first ext position usable as history (halo minus
-      available dictionary/previous-block bytes).
-    k: static chain depth (number of hash-bucket candidates probed).
-    rerank: frontier re-ranking rounds — after extending the capped winner,
-      re-probe candidates that also match at the current frontier and extend
-      the closest such candidate exactly; recovers long matches the 16-byte
-      ranking cap under-scored (record-structured data).
-
-    Returns (length, dist): (bl,) i32 each; length==0 where no match.
-    vmap over blocks.
+    ext: (B, halo + bl + pad) u8 rows (halo history + block + zero pad).
+    block_len, valid_from: (B,) i32.
+    Returns (length, dist): (B, bl) i32.
     """
-    nh = halo + bl                       # hashed positions
-    pos = jnp.arange(nh, dtype=jnp.int32)
-    w = _words_le(ext)
+    B = ext.shape[0]
+    row = halo + bl + pad
+    nh = halo + bl
+    flat = ext.reshape(-1)
+    w = _words_le_flat(flat, B, row)
 
-    h = ((w[:nh] * HASH_MULT) >> (32 - HASH_BITS)).astype(jnp.uint32)
-    # positions at/after block_len hold pad garbage; their pos is larger than
-    # any query, so they can never be selected as a *previous* occurrence.
-    key = (h << 17) | pos.astype(jnp.uint32)
-    order = jnp.argsort(key)             # sorted by (hash, pos)
-    rank = jnp.zeros(nh, jnp.int32).at[order].set(pos)
-    sorted_pos = order.astype(jnp.int32)
-    sorted_hash = h[order]
+    # hash every row position (flat); positions in the pad hash to garbage but
+    # sort after all block positions of their row (key includes local pos)
+    base = (jnp.arange(B, dtype=jnp.int32) * row)[:, None]           # (B,1)
+    lpos = jnp.arange(nh, dtype=jnp.int32)[None, :]                  # (1,nh)
+    gidx = (base + lpos).reshape(-1)                                 # (B*nh,)
+    h = ((w[gidx] * HASH_MULT) >> (32 - HASH_BITS)).astype(jnp.uint32)
+    local = jnp.tile(jnp.arange(nh, dtype=jnp.uint32), B)
+    key = (h << 17) | local
+    order = jnp.argsort(key.reshape(B, nh), axis=1)                  # (B, nh)
+    sbase = (jnp.arange(B, dtype=jnp.int32) * nh)[:, None]
+    order_flat = (sbase + order).reshape(-1)
+    rank = jnp.zeros(B * nh, jnp.int32).at[order_flat].set(
+        jnp.tile(jnp.arange(nh, dtype=jnp.int32), B))
+    sorted_lpos = order.reshape(-1).astype(jnp.int32)                # (B*nh,)
+    sorted_hash = h[order_flat]
 
-    qi = halo + jnp.arange(bl, dtype=jnp.int32)    # query positions in ext
-    qrank = rank[qi]
-    qhash = h[qi]
+    qb = (jnp.arange(B, dtype=jnp.int32) * row)[:, None]
+    ql = halo + jnp.arange(bl, dtype=jnp.int32)[None, :]
+    qi = (qb + ql).reshape(-1)                                       # flat ext idx
+    q_srt = (sbase + ql).reshape(-1)                                 # flat sort idx? no:
+    # rank index of query: row b, local pos halo+j -> rank[b*nh + halo + j]
+    q_rank = rank[(sbase + ql).reshape(-1)]
+    q_hash = h[(sbase + ql).reshape(-1)]
+    q_block = jnp.repeat(jnp.arange(B, dtype=jnp.int32), bl)
+    q_sbase = q_block * nh
+    q_vfrom = valid_from[q_block]
+    q_local = jnp.tile(halo + jnp.arange(bl, dtype=jnp.int32), B)
 
-    best_len = jnp.zeros(bl, jnp.int32)
-    best_cand = jnp.zeros(bl, jnp.int32)
-    cands = []
-    capped = []
-    for kk in range(1, k + 1):
-        j = qrank - kk
+    def probe(kk, carry):
+        best_len, best_cand = carry
+        j = q_rank - kk
         jc = jnp.maximum(j, 0)
-        cand = sorted_pos[jc]
-        ok = (j >= 0) & (sorted_hash[jc] == qhash) & (cand >= valid_from) \
-            & (qi - cand <= C.WINDOW_SIZE)
+        cl = sorted_lpos[q_sbase + jc]                # candidate local pos
+        ok = (j >= 0) & (sorted_hash[q_sbase + jc] == q_hash) \
+            & (cl >= q_vfrom) & (q_local - cl <= C.WINDOW_SIZE) \
+            & (cl < q_local)
+        cand = q_block * row + cl
         l16 = jnp.where(ok, _cmp16(w, qi, cand), 0)
-        better = l16 > best_len           # ties keep earlier k == closer cand
+        better = l16 > best_len
         best_len = jnp.where(better, l16, best_len)
         best_cand = jnp.where(better, cand, best_cand)
-        if rerank > 0:
-            cands.append(cand)
-            capped.append(l16 == 16)
+        return best_len, best_cand
 
+    best_len = jnp.zeros(B * bl, jnp.int32)
+    best_cand = jnp.zeros(B * bl, jnp.int32)
+    best_len, best_cand = jax.lax.fori_loop(1, k + 1, probe,
+                                            (best_len, best_cand))
     length = _extend(w, qi, best_cand, best_len)
 
     for _ in range(rerank):
-        # Probe each 16-capped candidate at the current frontier word; the
-        # closest one still matching there is exactly re-extended (always
-        # sound: extension yields true lengths, so `length` only improves).
+        # frontier re-rank: the closest 16-capped candidate that also matches
+        # at the current frontier word gets an exact re-extension
         fo = jnp.maximum(length - 3, 0)
-        sel = jnp.full((bl,), -1, jnp.int32)
-        for kk in range(k):
-            inplay = capped[kk] & (cands[kk] != best_cand) & \
-                (w[qi + fo] == w[cands[kk] + fo])
-            sel = jnp.where((sel < 0) & inplay, cands[kk], sel)
+
+        def rprobe(kk, sel):
+            j = q_rank - kk
+            jc = jnp.maximum(j, 0)
+            cl = sorted_lpos[q_sbase + jc]
+            ok = (j >= 0) & (sorted_hash[q_sbase + jc] == q_hash) \
+                & (cl >= q_vfrom) & (q_local - cl <= C.WINDOW_SIZE) \
+                & (cl < q_local)
+            cand = q_block * row + cl
+            inplay = ok & (cand != best_cand) & (w[qi + fo] == w[cand + fo])
+            return jnp.where((sel < 0) & inplay, cand, sel)
+
+        sel = jax.lax.fori_loop(1, k + 1, rprobe,
+                                jnp.full(B * bl, -1, jnp.int32))
         has = (sel >= 0) & (length < C.MAX_MATCH)
         sc = jnp.maximum(sel, 0)
-        nl = _extend(w, qi, sc, jnp.where(has, _cmp16(w, qi, sc), 0))
+        nl = jnp.where(has, _cmp16(w, qi, sc), 0)
+        nl = _extend(w, qi, sc, nl)
         better = has & (nl > length)
         length = jnp.where(better, nl, length)
         best_cand = jnp.where(better, sc, best_cand)
 
-    # Clamp to format cap and to block end (tokens never cross blocks).
-    bpos = jnp.arange(bl, dtype=jnp.int32)
     length = jnp.minimum(length, C.MAX_MATCH)
-    length = jnp.minimum(length, block_len - bpos)
+    length = length.reshape(B, bl)
+    bpos = jnp.arange(bl, dtype=jnp.int32)[None, :]
+    length = jnp.minimum(length, block_len[:, None] - bpos)
     length = jnp.where(length >= C.MIN_MATCH, length, 0)
-    dist = jnp.where(length > 0, qi - best_cand, 0)
+    dist = jnp.where(length > 0,
+                     (qi - best_cand).reshape(B, bl), 0)
     return length, dist
 
 
@@ -173,54 +208,57 @@ def _match_cost_bits(length, dist):
     return 13 + lex[jnp.clip(length, 0, 258)] + dex
 
 
-def parse(length: jnp.ndarray, dist: jnp.ndarray, block_len: jnp.ndarray,
-          bl: int, lazy: bool, good_length: int):
-    """Local greedy/lazy decision -> next[] step array.
+def parse_batch(length: jnp.ndarray, dist: jnp.ndarray, block_len: jnp.ndarray,
+                bl: int, lazy: bool, good_length: int):
+    """Local greedy/lazy decision -> flat next[] with per-block sentinels.
 
-    Greedy (levels 1-5) accepts only len>3, matching compress1
-    (deflator.c:2476). Lazy (levels 6-9) reproduces compress2's structure —
-    one-position lookahead, immediate accept at good_length, len-3/far
-    rejection (deflator.c:2829-2831) — but the deferral predicate is
-    cost-aware instead of the reference's `diff>4 || 4diff+log2 >= 2`
-    heuristic: defer iff the literal+next-match option encodes its covered
-    bytes in fewer bits/byte than taking the current match. Measured against
-    the compiled reference this is strictly better (the reference relies on
-    weakened re-search while pending to break deferral cascades, which has no
-    parallel analog).
+    Greedy (levels 1-5) accepts only len>3 (compress1, deflator.c:2476);
+    lazy (levels 6-9) keeps compress2's structure — one-position lookahead,
+    immediate accept at good_length, len-3/far rejection
+    (deflator.c:2829-2831) — but the deferral predicate is cost-aware: defer
+    iff literal+next-match encodes its covered bytes in fewer bits/byte.
+    Measured against the compiled reference this is strictly better (the
+    reference relies on weakened re-search while pending to break deferral
+    cascades, which has no parallel analog).
 
-    Returns (next_, take): next_ (bl+1,) i32 with absorbing sentinel at bl;
-    take (bl,) bool — whether a token starting at i would be a match.
+    length/dist: (B, bl). Returns (next_flat (B*(bl+1),), take (B, bl)):
+    block b's positions live at [b*(bl+1), b*(bl+1)+bl] with an absorbing
+    sentinel at local index bl.
     """
+    B = length.shape[0]
     if not lazy:
-        take = length > C.MIN_MATCH          # greedy accepts only len>3
+        take = length > C.MIN_MATCH
     else:
         ok = (length >= C.MIN_MATCH) & ~((length == C.MIN_MATCH) & (dist > 8192))
-        ln = jnp.concatenate([length[1:], jnp.zeros(1, jnp.int32)])
-        dn = jnp.concatenate([dist[1:], jnp.ones(1, jnp.int32)])
+        ln = jnp.concatenate([length[:, 1:], jnp.zeros((B, 1), jnp.int32)], 1)
+        dn = jnp.concatenate([dist[:, 1:], jnp.ones((B, 1), jnp.int32)], 1)
         ok_n = (ln >= C.MIN_MATCH) & ~((ln == C.MIN_MATCH) & (dn > 8192))
-        # defer iff rate(literal + next match) < rate(current match)
         defer = ok_n & (
             (8 + _match_cost_bits(ln, dn)) * length <
             _match_cost_bits(length, dist) * (1 + ln))
         take = ok & ((length >= good_length) | ~defer)
     step = jnp.where(take, length, 1)
-    i = jnp.arange(bl, dtype=jnp.int32)
+    i = jnp.arange(bl, dtype=jnp.int32)[None, :]
     nxt = jnp.minimum(i + step, bl)
-    nxt = jnp.where(i < block_len, nxt, bl)     # out-of-range -> sentinel
-    nxt = jnp.concatenate([nxt, jnp.asarray([bl], jnp.int32)])
-    return nxt, take
+    nxt = jnp.where(i < block_len[:, None], nxt, bl)
+    nxt = jnp.concatenate([nxt, jnp.full((B, 1), bl, jnp.int32)], 1)
+    base = (jnp.arange(B, dtype=jnp.int32) * (bl + 1))[:, None]
+    return (nxt + base).reshape(-1), take
 
 
-def orbit(next_: jnp.ndarray, max_len: int) -> jnp.ndarray:
-    """P[m] = next^m(0): the token start positions, via pointer doubling.
+def orbit_batch(next_flat: jnp.ndarray, B: int, bl: int) -> jnp.ndarray:
+    """P[b, m] = next^m(start_b) for every block via flat pointer doubling.
 
-    next_ must have an absorbing fixed point at its last index. Returns
-    (max_len,) i32. vmap over blocks.
+    next_flat: (B*(bl+1),) absolute indices with absorbing per-block
+    sentinels. Returns (B, bl) orbit positions (LOCAL within block).
     """
-    j = next_
-    p = jnp.zeros((1,), jnp.int32)
-    while p.shape[0] < max_len:
-        p = jnp.concatenate([p, j[p]])
-        if p.shape[0] < max_len:
+    starts = jnp.arange(B, dtype=jnp.int32) * (bl + 1)
+    p = starts[:, None]
+    j = next_flat
+    while p.shape[1] < bl:
+        p = jnp.concatenate([p, j[p.reshape(-1)].reshape(p.shape)], axis=1)
+        if p.shape[1] < bl:
             j = j[j]
-    return p[:max_len]
+    p = p[:, :bl]
+    base = (jnp.arange(B, dtype=jnp.int32) * (bl + 1))[:, None]
+    return p - base                      # local positions, bl == sentinel
