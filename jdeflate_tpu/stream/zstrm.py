@@ -230,3 +230,37 @@ class ZStream:
         out = bytes(self._out)
         self._out.clear()
         return out
+
+    # ---- inflate side ----
+
+    def feed(self, data: bytes):
+        """Buffer compressed input (inflate mode)."""
+        self._check()
+        if self.mode != "inflate":
+            self._poisoned = True
+            raise errors.IncorrectUseError("feed() on a deflate stream")
+        self._buf += data
+        self.total_in += len(data)
+
+    def finish(self) -> bytes:
+        """Decode everything fed so far and verify trailers (inflate mode).
+
+        Suspension granularity is the block batch on TPU (SURVEY.md §5): the
+        byte-granular resumable decode of the reference is intentionally
+        replaced by feed-then-finish plus per-member incremental decode for
+        multi-member gzip files.
+        """
+        self._check()
+        if self.mode != "inflate":
+            self._poisoned = True
+            raise errors.IncorrectUseError("finish() on a deflate stream")
+        try:
+            out = decompress(bytes(self._buf), format=self.format,
+                             dictionary=self.dictionary)
+        except errors.JDeflateError:
+            self._poisoned = True
+            raise
+        self._buf.clear()
+        self._finished = True
+        self.total_out += len(out)
+        return out

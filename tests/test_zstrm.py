@@ -140,3 +140,22 @@ def test_compress_with_index_device_decode(corpus):
     blob, index, hl = jd.compress_with_index(
         data, format="gzip", level=6, block_size=4096, batch=2)
     assert jd.decompress(blob, index=index, header_len=hl) == data
+
+def test_inflate_stream_feed_finish(corpus):
+    data = corpus("text", 20000)
+    blob = jd.compress(data, format="gzip", block_size=4096, batch=2)
+    z = jd.ZStream("inflate", format="auto")
+    for i in range(0, len(blob), 1000):
+        z.feed(blob[i:i + 1000])
+    assert z.finish() == data
+    with pytest.raises(errors.IncorrectUseError):
+        z.write(b"x")
+
+
+def test_inflate_stream_poisoned_on_bad_data():
+    z = jd.ZStream("inflate", format="auto")
+    z.feed(b"\x1f\x8b\x08\x00garbagegarbage")
+    with pytest.raises(errors.JDeflateError):
+        z.finish()
+    with pytest.raises(errors.StreamPoisonedError):
+        z.feed(b"more")
