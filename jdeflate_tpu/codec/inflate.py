@@ -146,9 +146,26 @@ class RawInflater:
         while i < nblk:
             rec = recs[i]
             if rec.btype == 0:
-                start = rec.sym_bit_offset >> 3
-                out += raw[start:start + rec.out_len]
-                window += raw[start:start + rec.out_len]
+                # one index entry may span several stored sub-blocks (the
+                # encoder splits blocks longer than the 16-bit LEN field,
+                # cf. MAXSTRDSIZE deflator.c:794)
+                want = out_lens[i]
+                r = rec
+                copied = 0
+                while True:
+                    start = r.sym_bit_offset >> 3
+                    out += raw[start:start + r.out_len]
+                    window += raw[start:start + r.out_len]
+                    copied += r.out_len
+                    if copied >= want:
+                        break
+                    nxt_bit = r.sym_bit_offset + 8 * r.out_len
+                    r = (native.parse_block_header(raw, nxt_bit)
+                         if native.available()
+                         else hi.parse_block_header(raw, nxt_bit))
+                    if r.btype != 0:
+                        raise errors.BadBlockError(
+                            "index expects stored continuation")
                 del window[:-HALO]
                 i += 1
                 continue

@@ -119,3 +119,12 @@ def test_device_detects_corruption(corpus, dec):
     bad[len(bad) // 2] ^= 0xFF
     with pytest.raises(errors.JDeflateError):
         dec.decompress(bytes(bad), index=idx)
+
+
+def test_split_stored_block_indexed_decode(rng, dec):
+    # incompressible 64K+ blocks are stored split across two LEN fields
+    # (MAXSTRDSIZE, deflator.c:794); the indexed decoder must walk both
+    import numpy as np
+    data = rng.integers(0, 256, 80000, dtype=np.uint8).tobytes()
+    raw, idx = RawDeflater(level=6, block_size=65536, batch=1).compress(data)
+    assert dec.decompress(raw, index=idx) == data
