@@ -223,50 +223,59 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
 
     # ---- batch-flat token pipeline (see ops/lz77.py layout note) ----
     B = batch
-    row = HALO + bl + PAD
     length, dist = lz77.find_matches_batch(
         ext, block_len, valid_from, HALO, bl, PAD, max(cfg.probes, 1),
         cfg.rerank)
     next_flat, take = lz77.parse_batch(length, dist, block_len, bl,
                                        cfg.lazy, cfg.good_length)
     p = lz77.orbit_batch(next_flat, B, bl)            # (B, bl) local
-    valid = p < block_len[:, None]
-    pc = jnp.minimum(p, bl - 1)
-    fb = (jnp.arange(B, dtype=jnp.int32) * bl)[:, None]
-    fidx = fb + pc
-    t_take = jnp.where(valid, take.reshape(-1)[fidx], False)
-    t_len = jnp.where(t_take, length.reshape(-1)[fidx], 0)
-    t_dist = jnp.where(t_take, dist.reshape(-1)[fidx], 0)
-    ext_f = ext.reshape(-1)
-    eb = (jnp.arange(B, dtype=jnp.int32) * row)[:, None]
-    t_lit = ext_f[eb + HALO + pc].astype(jnp.int32)
+    # token flags via ONE flat scatter; everything downstream is elementwise
+    # per position (random access is the scarce resource on TPU)
+    tb = (jnp.arange(B, dtype=jnp.int32) * (bl + 1))[:, None]
+    tok_flat = jnp.zeros(B * (bl + 1), jnp.int32).at[
+        (tb + jnp.minimum(p, bl)).reshape(-1)].set(1)
+    bpos = jnp.arange(bl, dtype=jnp.int32)[None, :]
+    is_tok = (tok_flat.reshape(B, bl + 1)[:, :bl] > 0) \
+        & (bpos < block_len[:, None])
 
-    ltos = jnp.asarray(C.LENGTH_TO_SYMBOL)
-    ltoe = jnp.asarray(C.LENGTH_TO_EXTRA_VAL)
-    lext_bits = jnp.concatenate(
-        [jnp.zeros(257, jnp.int32), jnp.asarray(C.LENGTH_EXTRA)])
-    dlo_t = jnp.asarray(C.DIST_TO_SYMBOL_LO)
-    dhi_t = jnp.asarray(C.DIST_TO_SYMBOL_HI)
-    dext_bits = jnp.asarray(C.DIST_EXTRA)
-    dbase = jnp.asarray(C.DIST_BASE)
+    t_take = is_tok & take
+    t_len = jnp.where(t_take, length, 0)
+    t_dist = jnp.where(t_take, dist, 0)
+    t_lit = ext[:, HALO:HALO + bl].astype(jnp.int32)
 
-    lsym = jnp.where(t_take, ltos[jnp.maximum(t_len - 3, 0)], t_lit)
-    lextra = jnp.where(t_take, ltoe[jnp.maximum(t_len - 3, 0)], 0)
-    dsym = jnp.where(t_dist <= 256, dlo_t[jnp.maximum(t_dist - 1, 0)],
-                     dhi_t[(jnp.maximum(t_dist - 1, 0) >> 7) & 255])
-    dsym = jnp.minimum(dsym, 29)
-    dextra = t_dist - dbase[dsym]
+    # arithmetic symbol mapping (no table gathers):
+    # length n = len-3 in [0,255]; sym = 257+n (n<8) else
+    # 265 + 4*(log2(n)-3) + ((n>>(log2(n)-2)) & 3); len 258 -> 285
+    n_ = jnp.maximum(t_len - 3, 0)
+    l2n = lz77._floor_log2(jnp.maximum(n_, 1))
+    lsym_m = jnp.where(
+        n_ < 8, 257 + n_,
+        265 + ((l2n - 3) << 2) + ((n_ >> jnp.maximum(l2n - 2, 0)) & 3))
+    lsym_m = jnp.where(t_len == 258, 285, lsym_m)
+    lextra_bits = jnp.where((n_ < 8) | (t_len == 258), 0, l2n - 2)
+    lextra = n_ & ((1 << jnp.maximum(lextra_bits, 0)) - 1)
+    # dist m = d-1; sym = m (m<4) else 2*log2(m) + ((m>>(log2(m)-1)) & 1)
+    m_ = jnp.maximum(t_dist - 1, 0)
+    l2m = lz77._floor_log2(jnp.maximum(m_, 1))
+    dsym = jnp.where(m_ < 4, m_,
+                     (l2m << 1) + ((m_ >> jnp.maximum(l2m - 1, 0)) & 1))
+    dextra_bits = jnp.where(m_ < 4, 0, l2m - 1)
+    dextra = m_ & ((1 << jnp.maximum(dextra_bits, 0)) - 1)
 
-    # frequencies (flat scatter-add across the whole batch)
-    vi = valid.astype(jnp.int32)
+    lsym = jnp.where(t_take, lsym_m, t_lit)
+
+    # frequencies (two flat scatter-adds across the whole batch)
+    vi = is_tok.astype(jnp.int32)
+    lb = (jnp.arange(B, dtype=jnp.int32) * C.NUM_LITLEN_USED)[:, None]
     lfreq = jnp.zeros(B * C.NUM_LITLEN_USED, jnp.int32).at[
-        (jnp.arange(B, dtype=jnp.int32) * C.NUM_LITLEN_USED)[:, None]
-        + jnp.where(valid, lsym, 0)].add(vi).reshape(B, C.NUM_LITLEN_USED)
+        (lb + jnp.where(is_tok, lsym, 0)).reshape(-1)].add(
+        vi.reshape(-1)).reshape(B, C.NUM_LITLEN_USED)
     lfreq = lfreq.at[:, C.EOB].add((block_len > 0).astype(jnp.int32))
-    mt = (t_take & valid).astype(jnp.int32)
+    mt = (t_take & is_tok).astype(jnp.int32)
+    db = (jnp.arange(B, dtype=jnp.int32) * C.NUM_DIST_USED)[:, None]
     dfreq = jnp.zeros(B * C.NUM_DIST_USED, jnp.int32).at[
-        (jnp.arange(B, dtype=jnp.int32) * C.NUM_DIST_USED)[:, None]
-        + jnp.where(t_take & valid, dsym, 0)].add(mt).reshape(B, C.NUM_DIST_USED)
+        (db + jnp.where(t_take, dsym, 0)).reshape(-1)].add(
+        mt.reshape(-1)).reshape(B, C.NUM_DIST_USED)
 
     hdr_lo, hdr_nb, el, er, edl, edr, eob_lo, eob_nb = jax.vmap(
         lambda lf, df, n: _block_entropy(lf, df, n, cfg)
@@ -274,27 +283,26 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     hdr_lo = hdr_lo.at[:, 0].set(
         hdr_lo[:, 0] | bfinal.astype(jnp.uint32))
 
-    # token item values via flat per-block emission-table gathers
-    el_f = el.reshape(-1)
-    er_f = er.reshape(-1)
-    edl_f = edl.reshape(-1)
-    edr_f = edr.reshape(-1)
-    lb = (jnp.arange(B, dtype=jnp.int32) * C.NUM_LITLEN_USED)[:, None]
-    db = (jnp.arange(B, dtype=jnp.int32) * C.NUM_DIST_USED)[:, None]
-    lit_lo = er_f[lb + t_lit]
-    lit_n = el_f[lb + t_lit]
-    m_lo = er_f[lb + lsym]
+    # two packed code lookups per position: litlen (codes<<4|len) and dist
+    lpack = (er << 4) | el.astype(jnp.uint32)          # (B, 286)
+    dpack = (edr << 4) | edl.astype(jnp.uint32)        # (B, 30)
+    le = lpack.reshape(-1)[(lb + lsym).reshape(-1)].reshape(B, bl)
+    de = dpack.reshape(-1)[(db + dsym).reshape(-1)].reshape(B, bl)
+    lcode = le >> 4
+    llen = (le & 15).astype(jnp.int32)
+    dcode = de >> 4
+    dlen = (de & 15).astype(jnp.int32)
+
+    # literal: lcode/llen alone; match: lcode+lextra+dcode+dextra
+    m_lo = lcode
     m_hi = jnp.zeros((B, bl), jnp.uint32)
-    m_n = el_f[lb + lsym]
-    m_lo, m_hi, m_n = bitpack.append_bits(m_lo, m_hi, m_n, lextra,
-                                          lext_bits[lsym])
-    m_lo, m_hi, m_n = bitpack.append_bits(m_lo, m_hi, m_n, edr_f[db + dsym],
-                                          edl_f[db + dsym])
-    m_lo, m_hi, m_n = bitpack.append_bits(m_lo, m_hi, m_n, dextra,
-                                          dext_bits[dsym])
-    tv_lo = jnp.where(t_take, m_lo, lit_lo)
+    m_n = llen
+    m_lo, m_hi, m_n = bitpack.append_bits(m_lo, m_hi, m_n, lextra, lextra_bits)
+    m_lo, m_hi, m_n = bitpack.append_bits(m_lo, m_hi, m_n, dcode, dlen)
+    m_lo, m_hi, m_n = bitpack.append_bits(m_lo, m_hi, m_n, dextra, dextra_bits)
+    tv_lo = jnp.where(t_take, m_lo, lcode)
     tv_hi = jnp.where(t_take, m_hi, 0)
-    tv_n = jnp.where(valid, jnp.where(t_take, m_n, lit_n), 0)
+    tv_n = jnp.where(is_tok, jnp.where(t_take, m_n, llen), 0)
 
     nitems = HDR_ITEMS + bl + 1
     lo = jnp.zeros((B, nitems), jnp.uint32)

@@ -94,6 +94,11 @@ def _extend(w, qi, cand, length):
     return jax.lax.fori_loop(1, MAX_EXT_STEPS + 1, step, length)
 
 
+def _shift_right(a: jnp.ndarray, k: int, fill=0):
+    """Row-wise shift towards higher column indices by k (axis 1)."""
+    return jnp.pad(a[:, :-k], ((0, 0), (k, 0)), constant_values=fill)
+
+
 def find_matches_batch(ext: jnp.ndarray, block_len: jnp.ndarray,
                        valid_from: jnp.ndarray, halo: int, bl: int, pad: int,
                        k: int, rerank: int = 0):
@@ -102,95 +107,110 @@ def find_matches_batch(ext: jnp.ndarray, block_len: jnp.ndarray,
     ext: (B, halo + bl + pad) u8 rows (halo history + block + zero pad).
     block_len, valid_from: (B,) i32.
     Returns (length, dist): (B, bl) i32.
+
+    Zero-gather design (TPU: random access ~0.03 G elem/s, sorts and
+    elementwise ~10-100x faster): the 16-byte prefix words are CO-SORTED with
+    the (hash, pos) key, so the reference's chain walk becomes k row-wise
+    SHIFTED compares over the sorted arrays — pure VPU work. Results return
+    to position order with a second co-sort (position keys are a permutation,
+    so the sorted layout IS position layout). Long matches extend by the
+    link rule LCP(i,d) = 16 + LCP(i+16,d) when position i+16 selected the
+    same distance — shifted selects, exact and never overstated (understates
+    only when the neighbor chose a different candidate; measured ratio cost
+    is negligible and bounded by the 32-byte prefix floor).
     """
+    del rerank  # long-match recovery is handled by the link extension
     B = ext.shape[0]
     row = halo + bl + pad
     nh = halo + bl
-    flat = ext.reshape(-1)
-    w = _words_le_flat(flat, B, row)
+    e32 = ext.astype(jnp.uint32)
 
-    # hash every row position (flat); positions in the pad hash to garbage but
-    # sort after all block positions of their row (key includes local pos)
-    base = (jnp.arange(B, dtype=jnp.int32) * row)[:, None]           # (B,1)
-    lpos = jnp.arange(nh, dtype=jnp.int32)[None, :]                  # (1,nh)
-    gidx = (base + lpos).reshape(-1)                                 # (B*nh,)
-    h = ((w[gidx] * HASH_MULT) >> (32 - HASH_BITS)).astype(jnp.uint32)
-    local = jnp.tile(jnp.arange(nh, dtype=jnp.uint32), B)
-    key = (h << 17) | local
-    order = jnp.argsort(key.reshape(B, nh), axis=1)                  # (B, nh)
-    sbase = (jnp.arange(B, dtype=jnp.int32) * nh)[:, None]
-    order_flat = (sbase + order).reshape(-1)
-    rank = jnp.zeros(B * nh, jnp.int32).at[order_flat].set(
-        jnp.tile(jnp.arange(nh, dtype=jnp.int32), B))
-    sorted_lpos = order.reshape(-1).astype(jnp.int32)                # (B*nh,)
-    sorted_hash = h[order_flat]
+    def wcol(off):
+        c = e32[:, off:off + nh]
+        c1 = e32[:, off + 1:off + 1 + nh]
+        c2 = e32[:, off + 2:off + 2 + nh]
+        c3 = e32[:, off + 3:off + 3 + nh]
+        return c | (c1 << 8) | (c2 << 16) | (c3 << 24)
 
-    qb = (jnp.arange(B, dtype=jnp.int32) * row)[:, None]
-    ql = halo + jnp.arange(bl, dtype=jnp.int32)[None, :]
-    qi = (qb + ql).reshape(-1)                                       # flat ext idx
-    q_srt = (sbase + ql).reshape(-1)                                 # flat sort idx? no:
-    # rank index of query: row b, local pos halo+j -> rank[b*nh + halo + j]
-    q_rank = rank[(sbase + ql).reshape(-1)]
-    q_hash = h[(sbase + ql).reshape(-1)]
-    q_block = jnp.repeat(jnp.arange(B, dtype=jnp.int32), bl)
-    q_sbase = q_block * nh
-    q_vfrom = valid_from[q_block]
-    q_local = jnp.tile(halo + jnp.arange(bl, dtype=jnp.int32), B)
+    w0, w1, w2, w3 = wcol(0), wcol(4), wcol(8), wcol(12)
+    h = (w0 * HASH_MULT) >> (32 - HASH_BITS)
+    pos = jnp.broadcast_to(jnp.arange(nh, dtype=jnp.uint32)[None, :], (B, nh))
+    key = (h << 17) | pos
+
+    skey, s0, s1, s2, s3 = jax.lax.sort(
+        (key, w0, w1, w2, w3), dimension=1, num_keys=1)
+    spos = (skey & 0x1FFFF).astype(jnp.int32)
+    shash = skey >> 17
+    svfrom = valid_from[:, None]
+
+    col = jnp.broadcast_to(jnp.arange(nh, dtype=jnp.int32)[None, :], (B, nh))
+    best_len = jnp.zeros((B, nh), jnp.int32)
+    best_dist = jnp.zeros((B, nh), jnp.int32)
 
     def probe(kk, carry):
-        best_len, best_cand = carry
-        j = q_rank - kk
-        jc = jnp.maximum(j, 0)
-        cl = sorted_lpos[q_sbase + jc]                # candidate local pos
-        ok = (j >= 0) & (sorted_hash[q_sbase + jc] == q_hash) \
-            & (cl >= q_vfrom) & (q_local - cl <= C.WINDOW_SIZE) \
-            & (cl < q_local)
-        cand = q_block * row + cl
-        l16 = jnp.where(ok, _cmp16(w, qi, cand), 0)
+        best_len, best_dist = carry
+        cpos = _shift_right(spos, 1, 0)
+        # dynamic shift by kk: implemented as lax.dynamic_slice-style pad is
+        # not available for traced kk; use a scan-free roll with column mask
+        cpos = jnp.roll(spos, kk, axis=1)
+        chash = jnp.roll(shash, kk, axis=1)
+        c0 = jnp.roll(s0, kk, axis=1)
+        c1 = jnp.roll(s1, kk, axis=1)
+        c2 = jnp.roll(s2, kk, axis=1)
+        c3 = jnp.roll(s3, kk, axis=1)
+        dist = spos - cpos
+        ok = (col >= kk) & (chash == shash) & (dist > 0) \
+            & (dist <= C.WINDOW_SIZE) & (cpos >= svfrom)
+        eq0 = s0 == c0
+        eq1 = s1 == c1
+        eq2 = s2 == c2
+        eq3 = s3 == c3
+        m4 = eq0.astype(jnp.int32)
+        r = m4
+        r = r * eq1.astype(jnp.int32); m4 = m4 + r
+        r = r * eq2.astype(jnp.int32); m4 = m4 + r
+        r = r * eq3.astype(jnp.int32); m4 = m4 + r
+        x = jnp.where(eq0, jnp.where(eq1, jnp.where(eq2, s3 ^ c3, s2 ^ c2),
+                                     s1 ^ c1), s0 ^ c0)
+        l16 = jnp.where(m4 >= 4, 16, 4 * m4 + _lead_eq_bytes(x))
+        l16 = jnp.where(ok, l16, 0)
         better = l16 > best_len
         best_len = jnp.where(better, l16, best_len)
-        best_cand = jnp.where(better, cand, best_cand)
-        return best_len, best_cand
+        best_dist = jnp.where(better, dist, best_dist)
+        return best_len, best_dist
 
-    best_len = jnp.zeros(B * bl, jnp.int32)
-    best_cand = jnp.zeros(B * bl, jnp.int32)
-    best_len, best_cand = jax.lax.fori_loop(1, k + 1, probe,
-                                            (best_len, best_cand))
-    length = _extend(w, qi, best_cand, best_len)
+    best_len, best_dist = jax.lax.fori_loop(
+        1, k + 1, probe, (best_len, best_dist))
 
-    for _ in range(rerank):
-        # frontier re-rank: the closest 16-capped candidate that also matches
-        # at the current frontier word gets an exact re-extension
-        fo = jnp.maximum(length - 3, 0)
+    # back to position order: pos keys are a permutation of [0, nh), so the
+    # sorted-by-pos layout is exactly position-indexed
+    _, plen, pdist = jax.lax.sort(
+        (spos.astype(jnp.uint32), best_len, best_dist),
+        dimension=1, num_keys=1)
 
-        def rprobe(kk, sel):
-            j = q_rank - kk
-            jc = jnp.maximum(j, 0)
-            cl = sorted_lpos[q_sbase + jc]
-            ok = (j >= 0) & (sorted_hash[q_sbase + jc] == q_hash) \
-                & (cl >= q_vfrom) & (q_local - cl <= C.WINDOW_SIZE) \
-                & (cl < q_local)
-            cand = q_block * row + cl
-            inplay = ok & (cand != best_cand) & (w[qi + fo] == w[cand + fo])
-            return jnp.where((sel < 0) & inplay, cand, sel)
+    # link extension: LCP(i,d) = s + LCP(i+s,d) when dist matches (shifted
+    # selects; exact, never overstated). Chains double 16->32->64->128->258.
+    def ext_round(shift, length, dist):
+        nlen = jnp.pad(length[:, shift:], ((0, 0), (0, shift)))
+        ndist = jnp.pad(dist[:, shift:], ((0, 0), (0, shift)))
+        linked = (length == shift) & (ndist == dist)
+        return jnp.where(linked, shift + nlen, length)
 
-        sel = jax.lax.fori_loop(1, k + 1, rprobe,
-                                jnp.full(B * bl, -1, jnp.int32))
-        has = (sel >= 0) & (length < C.MAX_MATCH)
-        sc = jnp.maximum(sel, 0)
-        nl = jnp.where(has, _cmp16(w, qi, sc), 0)
-        nl = _extend(w, qi, sc, nl)
-        better = has & (nl > length)
-        length = jnp.where(better, nl, length)
-        best_cand = jnp.where(better, sc, best_cand)
+    for shift in (16, 32, 64, 128):
+        plen = ext_round(shift, plen, pdist)
+    # 256 -> 258 top-up via the same link at 256
+    n256l = jnp.pad(plen[:, 256:], ((0, 0), (0, 256)))
+    n256d = jnp.pad(pdist[:, 256:], ((0, 0), (0, 256)))
+    plen = jnp.where((plen == 256) & (n256d == pdist) & (n256l >= 2),
+                     258, plen)
 
-    length = jnp.minimum(length, C.MAX_MATCH)
-    length = length.reshape(B, bl)
+    length = plen[:, halo:]
+    dist = pdist[:, halo:]
     bpos = jnp.arange(bl, dtype=jnp.int32)[None, :]
-    length = jnp.minimum(length, block_len[:, None] - bpos)
+    length = jnp.minimum(jnp.minimum(length, C.MAX_MATCH),
+                         block_len[:, None] - bpos)
     length = jnp.where(length >= C.MIN_MATCH, length, 0)
-    dist = jnp.where(length > 0,
-                     (qi - best_cand).reshape(B, bl), 0)
+    dist = jnp.where(length > 0, dist, 0)
     return length, dist
 
 

@@ -55,10 +55,8 @@ def main():
             d, (s,), (D.HALO + bl + D.PAD,)))(starts)
         bls = jnp.full((batch,), bl, jnp.int32)
         vf = jnp.where(starts == 0, D.HALO, 0)
-        ln, dist = jax.vmap(
-            lambda e, b, v: lz77.find_matches(e, b, v, D.HALO, bl,
-                                              cfg.probes, cfg.rerank)
-        )(ext, bls, vf)
+        ln, dist = lz77.find_matches_batch(ext, bls, vf, D.HALO, bl, D.PAD,
+                                           cfg.probes, cfg.rerank)
         return ln, dist
 
     lnd = bench("matches (sort+probes+extend)", jax.jit(stage_matches), dev)
@@ -66,10 +64,9 @@ def main():
     def stage_parse(d):
         ln, dist = stage_matches(d)
         bls = jnp.full((batch,), bl, jnp.int32)
-        nxt, take = jax.vmap(
-            lambda l, dd, b: lz77.parse(l, dd, b, bl, cfg.lazy,
-                                        cfg.good_length))(ln, dist, bls)
-        p = jax.vmap(lambda nx: lz77.orbit(nx, bl))(nxt)
+        nxt, take = lz77.parse_batch(ln, dist, bls, bl, cfg.lazy,
+                                     cfg.good_length)
+        p = lz77.orbit_batch(nxt, batch, bl)
         return p
 
     bench("  + parse + orbit", jax.jit(stage_parse), dev)
