@@ -33,20 +33,27 @@ def _bucket(n: int, base: int) -> int:
     return b
 
 
-@functools.partial(jax.jit, static_argnames=("nbits", "nblocks", "max_syms", "out_cap"))
+SEG_BITS = 32   # strided-speculation segment width (== walk steps)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nbits", "nblocks", "nseg", "out_cap", "dense"))
 def decode_batch(words: jnp.ndarray, bit_lo: jnp.ndarray,
                  block_starts: jnp.ndarray, sym_starts: jnp.ndarray,
+                 block_ends: jnp.ndarray,
                  ll: jnp.ndarray, dl: jnp.ndarray, halo: jnp.ndarray,
-                 nbits: int, nblocks: int, max_syms: int, out_cap: int):
+                 nbits: int, nblocks: int, nseg: int, out_cap: int,
+                 dense: bool = False):
     """Decode `nblocks` Huffman blocks spanning local bits [0, nbits).
 
-    words: (W,) u32 whole-stream little-endian words (>=2 pad words).
+    words: (W,) u32 stream-window words (>=2 pad words).
     bit_lo: absolute bit of local position 0.
     block_starts: (B,) i32 local header bit of each block (ascending; dummy
       blocks use nbits).
     sym_starts: (B,) i32 local first-symbol bit (nbits for dummies).
-    ll: (B, 288) i32 litlen code lengths; dl: (B, 30) i32 dist code lengths.
+    ll: (B, 288) i32 litlen code lengths; dl: (B, 32) i32 dist code lengths.
     halo: (32768,) u8 window history preceding this batch's output.
+    nseg: per-block segment-grid length (covers the longest block's span).
 
     Returns (out (out_cap,) u8, produced i32, err i32).
     """
@@ -59,14 +66,21 @@ def decode_batch(words: jnp.ndarray, bit_lo: jnp.ndarray,
     bid = jnp.clip(
         jnp.searchsorted(block_starts, p, side="right").astype(jnp.int32) - 1,
         0, nblocks - 1)
-    f, outlen, lit, dist, flags = dk.wavefront_decode(
+    f, outlen, lit, dist, flags, eobf = dk.wavefront_decode(
         words, bit_lo, nbits, bid, ltab, dtab)
 
-    porb = dk.orbits(f, sym_starts, max_syms)            # (B, MS)
-    o_len = outlen[porb].reshape(-1)
-    o_lit = lit[porb].reshape(-1)
-    o_dist = dist[porb].reshape(-1)
-    o_err = flags[porb].reshape(-1)
+    if dense:
+        # per-block symbols <= per-block output bytes + 1 <= out_cap + 1
+        porb = dk.orbits(f, sym_starts, min(nseg * SEG_BITS, out_cap + 2))
+        slots = porb.reshape(-1)
+        oerr = jnp.int32(0)
+    else:
+        slots, oerr = dk.segmented_orbits(f, eobf, sym_starts, block_ends,
+                                          nbits, nseg, SEG_BITS)
+    o_len = outlen[slots]
+    o_lit = lit[slots]
+    o_dist = dist[slots]
+    o_err = flags[slots]
 
     off = HALO + jnp.cumsum(o_len) - o_len
     produced = jnp.sum(o_len)
@@ -89,11 +103,13 @@ def decode_batch(words: jnp.ndarray, bit_lo: jnp.ndarray,
     src = jnp.clip(src, 0, n - 1)
     resolved = (q < HALO) | ((cover >= 0) & ~is_match_pos)
 
-    rounds = max(2, (n - 1).bit_length())
-    val, resolved = dk.lz_resolve(val, src, resolved, rounds)
+    mask = q < HALO + produced
+    val, resolved = dk.lz_resolve(val, src, resolved, mask,
+                                  max(2, (n - 1).bit_length()))
 
-    err = jnp.sum(o_err) + jnp.sum(
-        (off + o_len > n).astype(jnp.int32) * is_tok)
+    err = oerr + jnp.sum(o_err) + jnp.sum(
+        (off + o_len > n).astype(jnp.int32) * is_tok) + jnp.sum(
+        (~resolved & mask).astype(jnp.int32))
     return val[HALO:].astype(jnp.uint8), produced, err
 
 
@@ -194,16 +210,21 @@ class RawInflater:
             words = jnp.asarray(wbytes.view(np.uint32))
             nbits = _bucket(bits_end - b0, 1 << 12)
             nb = _bucket(len(run), 4)
-            ms = _bucket(max(out_lens[k] for k in run) + 2, 256)
+            max_span = max(
+                (block_bits[k + 1] if k + 1 < nblk else bits_end)
+                - recs[k].sym_bit_offset for k in run)
+            nseg = _bucket(max_span // SEG_BITS + 2, 32)
             oc = _bucket(total_out, 1 << 12)
 
             starts = np.full(nb, nbits, np.int32)
             syms = np.full(nb, nbits, np.int32)
+            ends = np.full(nb, nbits, np.int32)
             ll = np.zeros((nb, 288), np.int32)
             dl = np.zeros((nb, 32), np.int32)
             for t, k in enumerate(run):
                 starts[t] = block_bits[k] - b0
                 syms[t] = recs[k].sym_bit_offset - b0
+                ends[t] = (block_bits[k + 1] if k + 1 < nblk else bits_end) - b0
                 lla = recs[k].litlen_lengths
                 ll[t, :len(lla)] = lla
                 dla = recs[k].dist_lengths
@@ -215,9 +236,20 @@ class RawInflater:
 
             o, produced, err = decode_batch(
                 words, jnp.int32(bit_local), jnp.asarray(starts),
-                jnp.asarray(syms), jnp.asarray(ll), jnp.asarray(dl),
-                jnp.asarray(halo), nbits, nb, ms, oc)
+                jnp.asarray(syms), jnp.asarray(ends), jnp.asarray(ll),
+                jnp.asarray(dl), jnp.asarray(halo), nbits, nb, nseg, oc)
             produced = int(produced)
+            if int(err) or produced != total_out:
+                # speculation can fail to converge on very low-entropy
+                # blocks (sparse tables break the self-sync walks); such
+                # blocks are tiny, so the dense pointer-doubling orbit is a
+                # cheap exact fallback
+                o, produced, err = decode_batch(
+                    words, jnp.int32(bit_local), jnp.asarray(starts),
+                    jnp.asarray(syms), jnp.asarray(ends), jnp.asarray(ll),
+                    jnp.asarray(dl), jnp.asarray(halo), nbits, nb, nseg, oc,
+                    dense=True)
+                produced = int(produced)
             if int(err) or produced != total_out:
                 raise errors.BadBlockError(
                     f"device decode mismatch: produced={produced} "

@@ -137,6 +137,46 @@ def extract_bits(words: jnp.ndarray, p: jnp.ndarray, n) -> jnp.ndarray:
     return lo & ((jnp.uint32(1) << n.astype(jnp.uint32)) - 1)
 
 
+def f_eval(words: jnp.ndarray, ltab: jnp.ndarray, dtab: jnp.ndarray,
+           tb: jnp.ndarray, p: jnp.ndarray):
+    """Decode ONE symbol at arbitrary bit positions p (any shape).
+
+    tb: table base offsets (bid * TABLE_SIZE), same shape as p.
+    Returns (nxt_bits_abs, outlen, lit, dist, invalid) — the symbol-step
+    function of the wavefront design, evaluated on demand (the dense
+    per-bit array is never materialized; random access is scarce on TPU).
+    """
+    e1 = ltab[tb + extract_bits(words, p, TABLE_BITS).astype(jnp.int32)]
+    c1 = (e1 & 31).astype(jnp.int32)
+    k1 = ((e1 >> 5) & 7).astype(jnp.int32)
+    ex1 = ((e1 >> 8) & 15).astype(jnp.int32)
+    pay1 = (e1 >> 16).astype(jnp.int32)
+
+    is_lit = k1 == KIND_LIT
+    is_eob = k1 == KIND_EOB
+    is_len = k1 == KIND_CODE
+    invalid = k1 == KIND_INVALID
+
+    p_ext = p + c1
+    lext = extract_bits(words, p_ext, ex1).astype(jnp.int32)
+    length = pay1 + lext
+    p2 = p_ext + ex1
+    e2 = dtab[tb + extract_bits(words, p2, TABLE_BITS).astype(jnp.int32)]
+    c2 = (e2 & 31).astype(jnp.int32)
+    k2 = ((e2 >> 5) & 7).astype(jnp.int32)
+    ex2 = ((e2 >> 8) & 15).astype(jnp.int32)
+    pay2 = (e2 >> 16).astype(jnp.int32)
+    dext = extract_bits(words, p2 + c2, ex2).astype(jnp.int32)
+    dist = pay2 + dext
+    invalid = invalid | (is_len & (k2 != KIND_CODE))
+
+    nxt = jnp.where(is_len, p2 + c2 + ex2, p + c1)
+    outlen = jnp.where(is_lit, 1, jnp.where(is_len, length, 0))
+    lit = jnp.where(is_lit, pay1, 0)
+    dist = jnp.where(is_len, dist, 0)
+    return nxt, outlen, lit, dist, invalid, is_eob
+
+
 def wavefront_decode(words: jnp.ndarray, bit_lo: jnp.ndarray, nbits: int,
                      bid: jnp.ndarray, ltab: jnp.ndarray, dtab: jnp.ndarray):
     """Speculative decode at every bit position in [bit_lo, bit_lo + nbits).
@@ -188,7 +228,127 @@ def wavefront_decode(words: jnp.ndarray, bit_lo: jnp.ndarray, nbits: int,
 
     sent = lambda x, v: jnp.concatenate([x, jnp.full((1,), v, x.dtype)])
     return (sent(f_local, nbits), sent(outlen, 0), sent(lit, 0),
-            sent(dist, 0), sent(flags, 0))
+            sent(dist, 0), sent(flags, 0),
+            sent(is_eob.astype(jnp.int32), 0))
+
+
+def segmented_orbits(f: jnp.ndarray, eobf: jnp.ndarray,
+                     sym_starts: jnp.ndarray,
+                     block_ends: jnp.ndarray, nbits: int,
+                     nseg: int, seg_bits: int, fix_iters: int = 3):
+    """Exact symbol-position extraction by strided speculation.
+
+    Replaces dense pointer-doubling (log2(nbits) full-array gather rounds —
+    the decode-side whale) with walks over a per-block segment grid:
+
+      A-pass: from every segment start, walk f speculatively until crossing
+        the segment end, recording visited positions into a bitmap (the
+        Huffman self-synchronization substrate, cf. rapidgzip).
+      Stitch: segment m+1's true entry is segment m's exit — assumed from the
+        A-exits (exact for m=0: the grid anchors at sym_start) and verified
+        by D-walks, iterated to a fixpoint. The assumption only fails when a
+        true walk never merges with the speculative one inside its segment —
+        rare; unconverged lanes raise the error flag (caller falls back).
+      D-pass: walk from each entry; the merge point q is the first position
+        present in the bitmap (positions are per-segment unique, so bitmap
+        membership IS the own-segment check). True symbol positions are
+        D-steps before q plus A-steps from q on.
+
+    With seg_bits steps per walk (every symbol advances >= 1 bit) a walk
+    always crosses its segment, so there is no overflow case. A symbol may
+    span past the following segment boundary; the skipped segment's lane just
+    forwards the entry (records nothing).
+
+    f: (nbits+1,) absorbing next-symbol-bit map (sentinel at nbits; EOB maps
+    to the sentinel, which also kills all later segments of the block).
+
+    Returns (positions (B*nseg*2*seg_bits,) i32 in stream order with
+    sentinel nbits for inactive slots, err i32).
+    """
+    B = sym_starts.shape[0]
+    R = seg_bits
+    m = jnp.tile(jnp.arange(nseg, dtype=jnp.int32), B)
+    sb = jnp.repeat(sym_starts, nseg)
+    eb = jnp.repeat(jnp.minimum(block_ends, nbits), nseg)
+    # grids are clamped to each block's own bit span, so walk-recorded
+    # positions are globally unique (the bitmap scatter-add relies on it)
+    seg_start = jnp.minimum(sb + m * seg_bits, eb)
+    seg_end = jnp.minimum(seg_start + seg_bits, eb)
+    big = jnp.int32(nbits + 8)
+
+    DEAD = jnp.int32(nbits)          # true end-of-chain (EOB reached)
+    BROKEN = jnp.int32(nbits + 1)    # speculative walk hit an invalid slot
+
+    def walk(p0, bitmap):
+        """R-step walk. Returns (recs (R, lanes), exit_p, q_merge).
+
+        exit_p is the first position >= seg_end, or DEAD after a true EOB,
+        or BROKEN if the walk jumped to the sentinel without an EOB (it
+        decoded garbage — only speculative walks can do this)."""
+        def step(carry, _):
+            p, exit_p, q = carry
+            exited = exit_p < big
+            at_end = p >= seg_end
+            newly = ~exited & at_end
+            exit_p = jnp.where(newly, jnp.minimum(p, BROKEN), exit_p)
+            active = ~exited & ~at_end
+            rec = jnp.where(active, p, nbits)
+            if bitmap is not None:
+                wq = bitmap[jnp.minimum(p >> 5, (nbits >> 5) + 1)]
+                hit = active & (((wq >> (p.astype(jnp.uint32) & 31)) & 1) == 1)
+                q = jnp.where((q >= big) & hit, p, q)
+            fp = f[jnp.minimum(p, nbits)]
+            ended = active & (fp >= nbits)
+            fp = jnp.where(ended & (eobf[jnp.minimum(p, nbits)] > 0),
+                           DEAD, jnp.where(ended, BROKEN, fp))
+            pn = jnp.where(active, fp, p)
+            return (pn, exit_p, q), rec
+
+        init = (p0, jnp.full_like(p0, big), jnp.full_like(p0, big))
+        (pf, exit_p, q), recs = jax.lax.scan(step, init, None, length=R)
+        exit_p = jnp.where(exit_p >= big, pf, exit_p)   # final boundary cross
+        return recs, exit_p, q
+
+    a_pos, a_exit, _ = walk(seg_start, None)
+
+    # visited bitmap: positions are unique across all walks, so add == or
+    flat = a_pos.reshape(-1)
+    bw = (nbits >> 5) + 2
+    bitmap = jnp.zeros(bw, jnp.uint32).at[
+        jnp.minimum(flat >> 5, bw - 1)].add(
+        jnp.where(flat < nbits,
+                  jnp.uint32(1) << (flat.astype(jnp.uint32) & 31), 0),
+        mode="drop")
+
+    def entries_from(exits):
+        # a true EOB is absorbing: once a segment's exit is DEAD, every later
+        # segment of the block is dead — one cummax pass instead of one lane
+        # per fixpoint iteration. BROKEN exits forward as-is (corrected by
+        # later iterations, or flagged unconverged).
+        e = exits.reshape(B, nseg)
+        dead = jax.lax.cummax((e == nbits).astype(jnp.int32), axis=1) > 0
+        e = jnp.where(dead, nbits, e)
+        return jnp.concatenate([sym_starts[:, None], e[:, :-1]], 1).reshape(-1)
+
+    entry = entries_from(a_exit)
+    err = jnp.int32(0)
+    d_pos = a_pos
+    q = jnp.full_like(entry, big)
+    for it in range(fix_iters):
+        d_pos, d_exit, q = walk(entry, bitmap)
+        merged = q < big
+        exit_sel = jnp.where(merged, a_exit, d_exit)
+        new_entry = entries_from(exit_sel)
+        changed = jnp.sum((new_entry != entry).astype(jnp.int32))
+        if it == fix_iters - 1:
+            # unconverged or still-broken entries -> caller falls back
+            err = changed + jnp.sum((new_entry == nbits + 1).astype(jnp.int32))
+        entry = new_entry
+
+    d_slots = jnp.where(d_pos < q[None, :], d_pos, nbits)
+    a_slots = jnp.where((a_pos >= q[None, :]) & (a_pos < nbits), a_pos, nbits)
+    slots = jnp.concatenate([d_slots.T, a_slots.T], axis=1)   # (lanes, 2R)
+    return slots.reshape(-1), err
 
 
 def orbits(f_local: jnp.ndarray, starts: jnp.ndarray, max_syms: int) -> jnp.ndarray:
@@ -207,18 +367,28 @@ def orbits(f_local: jnp.ndarray, starts: jnp.ndarray, max_syms: int) -> jnp.ndar
 
 
 def lz_resolve(val: jnp.ndarray, src: jnp.ndarray, resolved: jnp.ndarray,
-               rounds: int):
-    """Resolve back-reference chains by pointer doubling.
+               mask: jnp.ndarray, max_rounds: int):
+    """Resolve back-reference chains by pointer doubling, stopping as soon as
+    every masked position is resolved (chains are usually much shorter than
+    the worst case, so the adaptive loop saves most rounds).
 
     val: (N,) i32 output bytes (literal positions already set).
     src: (N,) i32 copy-source index per position (self for resolved).
-    resolved: (N,) bool.
+    resolved: (N,) bool. mask: (N,) bool — positions that must resolve.
     """
-    for _ in range(rounds):
+    def cond(c):
+        _, _, r, i = c
+        return (i < max_rounds) & jnp.any(~r & mask)
+
+    def body(c):
+        val, src, resolved, i = c
         sv = val[src]
         sr = resolved[src]
         val = jnp.where(resolved, val, sv)
         nsrc = src[src]
         src = jnp.where(resolved, src, nsrc)
-        resolved = resolved | sr
+        return (val, src, resolved | sr, i + 1)
+
+    val, src, resolved, _ = jax.lax.while_loop(
+        cond, body, (val, src, resolved, jnp.int32(0)))
     return val, resolved
