@@ -387,7 +387,24 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     words, offs, total = bitpack.pack(
         lo.reshape(-1), hi.reshape(-1), nb.reshape(-1), num_words)
     per_block_bits = jnp.sum(nb, axis=1)
-    return words, total, per_block_bits, jnp.sum(ntok)
+
+    # symbol anchors for exact parallel decode: the pack scan knows every
+    # item's bit offset, so record every 64th symbol's position per block
+    # (~0.1% index overhead; decode then needs no speculation at all)
+    offs2 = offs.reshape(B, nitems)[:, HDR_ITEMS:]
+    sym_nb = nb[:, HDR_ITEMS:]
+    sym_mask = sym_nb > 0
+    ordinal = jnp.cumsum(sym_mask.astype(jnp.int32), axis=1)
+    sel = sym_mask & (ordinal % 64 == 1) & (ordinal > 1)
+    amax = (nitems - HDR_ITEMS) // 64 + 2
+    aslot = (ordinal - 1) // 64 - 1
+    ab = (jnp.arange(B, dtype=jnp.int32) * amax)[:, None]
+    anchors = jnp.full(B * amax, -1, jnp.int32).at[
+        jnp.where(sel, ab + aslot, B * amax)].set(
+        offs2, mode="drop").reshape(B, amax)
+    nsyms = ordinal[:, -1]
+    return (words, total, per_block_bits, jnp.sum(ntok), anchors, nsyms,
+            use_stored)
 
 
 encode_batch = jax.jit(
@@ -428,10 +445,10 @@ class RawDeflater:
         if n == 0:
             if not final:
                 return b"", {"block_bits": [], "block_bytes": [],
-                             "sync_points": [], "n": 0}
+                             "sync_points": [], "n": 0, "anchors": []}
             # empty stream: single static block with just EOB = 0x03 0x00
             return b"\x03\x00", {"block_bits": [], "block_bytes": [],
-                                 "sync_points": [], "n": 0}
+                                 "sync_points": [], "n": 0, "anchors": []}
         dict_bytes = (dictionary or b"")[-C.WINDOW_SIZE:]
         nblocks = (n + bl - 1) // bl
         arr = np.frombuffer(data, np.uint8)
@@ -449,6 +466,7 @@ class RawDeflater:
         index_bytes = []         # output (uncompressed) offset of each block
         sync_points = []
         final_idx = nblocks - 1 if final else -1
+        anchors_out = []
         for b0 in range(0, nblocks, batch):
             s = b0 * bl
             seg_n = min(n - s, seg)
@@ -462,10 +480,12 @@ class RawDeflater:
                 buf[HALO - h:HALO] = np.frombuffer(hist, np.uint8)
             buf[HALO:HALO + seg_n] = arr[s:s + seg_n]
             dev = jnp.asarray(buf)
-            words, total, per_block, _ = encode_batch(
+            words, total, per_block, _, anchors, nsyms, stored = encode_batch(
                 dev, jnp.int32(0), jnp.int32(seg_n), jnp.int32(h),
                 jnp.int32(final_idx - b0), bl, batch, self.level, nw)
             total = int(total)
+            anc = np.asarray(anchors)
+            stored_h = np.asarray(stored)
             wb = np.asarray(words).view(np.uint8)  # little-endian words
             pb = np.asarray(per_block)
             base_bits = len(out) * 8
@@ -473,6 +493,12 @@ class RawDeflater:
             for i in range(min(batch, nblocks - b0)):
                 index_bits.append(base_bits + acc)
                 index_bytes.append((b0 + i) * bl)
+                if stored_h[i]:
+                    anchors_out.append(None)
+                else:
+                    a = anc[i]
+                    anchors_out.append(
+                        (base_bits + a[a >= 0]).astype(np.int64))
                 acc += int(pb[i])
             if b0 + batch >= nblocks and final:
                 out += wb[: (total + 7) // 8].tobytes()
@@ -482,5 +508,6 @@ class RawDeflater:
                 out += b"\x00\x00\xff\xff"
                 sync_points.append(len(out))
         index = {"block_bits": index_bits, "block_bytes": index_bytes,
-                 "sync_points": sync_points, "n": n}
+                 "sync_points": sync_points, "n": n,
+                 "anchors": anchors_out}
         return bytes(out), index

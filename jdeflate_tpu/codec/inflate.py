@@ -33,7 +33,53 @@ def _bucket(n: int, base: int) -> int:
     return b
 
 
-SEG_BITS = 32   # strided-speculation segment width (== walk steps)
+SEG_BITS = 64   # strided-speculation segment width (== record slots per walk)
+
+
+def _assemble_output(o_len, o_lit, o_dist, halo, out_cap):
+    """Token slots -> output bytes: offset scan, literal scatter, cover map,
+    dependency-doubling LZ resolve (window crosses block boundaries like the
+    reference's ring window, inflator.c:616-675)."""
+    off = HALO + jnp.cumsum(o_len) - o_len
+    produced = jnp.sum(o_len)
+    n = HALO + out_cap
+    val = jnp.zeros(n, jnp.int32).at[:HALO].set(halo.astype(jnp.int32))
+    is_tok = o_len > 0
+    is_lit = is_tok & (o_dist == 0)
+    val = val.at[jnp.where(is_lit, off, n)].set(o_lit, mode="drop")
+
+    cover = jnp.full(n, -1, jnp.int32)
+    tok_idx = jnp.arange(o_len.shape[0], dtype=jnp.int32)
+    cover = cover.at[jnp.where(is_tok, off, n)].max(tok_idx, mode="drop")
+    cover = jax.lax.cummax(cover)
+    covc = jnp.clip(cover, 0, tok_idx.shape[0] - 1)
+    q = jnp.arange(n, dtype=jnp.int32)
+    is_match_pos = (cover >= 0) & (o_dist[covc] > 0)
+    src = jnp.where(is_match_pos, q - o_dist[covc], q)
+    src = jnp.clip(src, 0, n - 1)
+    resolved = (q < HALO) | ((cover >= 0) & ~is_match_pos)
+    mask = q < HALO + produced
+    val, resolved = dk.lz_resolve(val, src, resolved, mask,
+                                  max(2, (n - 1).bit_length()))
+    err = jnp.sum((off + o_len > n).astype(jnp.int32) * is_tok) + jnp.sum(
+        (~resolved & mask).astype(jnp.int32))
+    return val[HALO:].astype(jnp.uint8), produced, err
+
+
+@functools.partial(jax.jit, static_argnames=("lanes", "nblocks", "out_cap"))
+def decode_batch_anchored(words, tb, starts, ends, ll, dl, halo,
+                          lanes: int, nblocks: int, out_cap: int):
+    """Exact anchored decode: every lane walks 64 symbols from a known
+    symbol anchor (encoder-provided index; no speculation, no dense f)."""
+    lk, le, lp = dk.litlen_attrs()
+    dkk, de, dp = dk.dist_attrs()
+    ltab = dk.build_tables_batch(ll, lk, le, lp)
+    dtab = dk.build_tables_batch(dl, dkk, de, dp)
+    outlen, lit, dist, werr = dk.anchored_walk(
+        words, ltab, dtab, tb, starts, ends)
+    out, produced, aerr = _assemble_output(
+        outlen.reshape(-1), lit.reshape(-1), dist.reshape(-1), halo, out_cap)
+    return out, produced, werr + aerr
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -81,36 +127,8 @@ def decode_batch(words: jnp.ndarray, bit_lo: jnp.ndarray,
     o_lit = lit[slots]
     o_dist = dist[slots]
     o_err = flags[slots]
-
-    off = HALO + jnp.cumsum(o_len) - o_len
-    produced = jnp.sum(o_len)
-
-    n = HALO + out_cap
-    val = jnp.zeros(n, jnp.int32).at[:HALO].set(halo.astype(jnp.int32))
-    is_tok = o_len > 0
-    is_lit = is_tok & (o_dist == 0)
-    # masked lanes scatter to index n, dropped (never clamped into range)
-    val = val.at[jnp.where(is_lit, off, n)].set(o_lit, mode="drop")
-
-    cover = jnp.full(n, -1, jnp.int32)
-    tok_idx = jnp.arange(o_len.shape[0], dtype=jnp.int32)
-    cover = cover.at[jnp.where(is_tok, off, n)].max(tok_idx, mode="drop")
-    cover = jax.lax.cummax(cover)
-    covc = jnp.clip(cover, 0, tok_idx.shape[0] - 1)
-    q = jnp.arange(n, dtype=jnp.int32)
-    is_match_pos = (cover >= 0) & (o_dist[covc] > 0)
-    src = jnp.where(is_match_pos, q - o_dist[covc], q)
-    src = jnp.clip(src, 0, n - 1)
-    resolved = (q < HALO) | ((cover >= 0) & ~is_match_pos)
-
-    mask = q < HALO + produced
-    val, resolved = dk.lz_resolve(val, src, resolved, mask,
-                                  max(2, (n - 1).bit_length()))
-
-    err = oerr + jnp.sum(o_err) + jnp.sum(
-        (off + o_len > n).astype(jnp.int32) * is_tok) + jnp.sum(
-        (~resolved & mask).astype(jnp.int32))
-    return val[HALO:].astype(jnp.uint8), produced, err
+    out, produced, aerr = _assemble_output(o_len, o_lit, o_dist, halo, out_cap)
+    return out, produced, oerr + jnp.sum(o_err) + aerr
 
 
 class RawInflater:
@@ -234,16 +252,39 @@ class RawInflater:
                 h = bytes(window[-HALO:])
                 halo[HALO - len(h):] = np.frombuffer(h, np.uint8)
 
-            o, produced, err = decode_batch(
-                words, jnp.int32(bit_local), jnp.asarray(starts),
-                jnp.asarray(syms), jnp.asarray(ends), jnp.asarray(ll),
-                jnp.asarray(dl), jnp.asarray(halo), nbits, nb, nseg, oc)
-            produced = int(produced)
+            anchors = index.get("anchors")
+            have_anchors = anchors is not None and all(
+                anchors[k] is not None for k in run)
+            if have_anchors:
+                lane_tb, lane_s, lane_e = [], [], []
+                wbase = word_lo << 5
+                for t, k in enumerate(run):
+                    a = [recs[k].sym_bit_offset] + [int(x) for x in anchors[k]]
+                    e = a[1:] + [1 << 30]
+                    lane_tb += [t * dk.TABLE_SIZE] * len(a)
+                    lane_s += [x - wbase for x in a]
+                    lane_e += [x - wbase if x != (1 << 30) else x for x in e]
+                lanes = _bucket(len(lane_s), 64)
+                padn = lanes - len(lane_s)
+                tb_a = np.asarray(lane_tb + [0] * padn, np.int32)
+                st_a = np.asarray(lane_s + [-1] * padn, np.int32)
+                en_a = np.asarray(lane_e + [0] * padn, np.int32)
+                o, produced, err = decode_batch_anchored(
+                    words, jnp.asarray(tb_a), jnp.asarray(st_a),
+                    jnp.asarray(en_a), jnp.asarray(ll), jnp.asarray(dl),
+                    jnp.asarray(halo), lanes, nb, oc)
+                produced = int(produced)
+            else:
+                o, produced, err = decode_batch(
+                    words, jnp.int32(bit_local), jnp.asarray(starts),
+                    jnp.asarray(syms), jnp.asarray(ends), jnp.asarray(ll),
+                    jnp.asarray(dl), jnp.asarray(halo), nbits, nb, nseg, oc)
+                produced = int(produced)
             if int(err) or produced != total_out:
-                # speculation can fail to converge on very low-entropy
-                # blocks (sparse tables break the self-sync walks); such
-                # blocks are tiny, so the dense pointer-doubling orbit is a
-                # cheap exact fallback
+                # anchored mode only errs on corruption; speculation can also
+                # fail to converge on low-entropy blocks (sparse tables break
+                # the self-sync walks) — the dense pointer-doubling orbit is
+                # the exact fallback either way
                 o, produced, err = decode_batch(
                     words, jnp.int32(bit_local), jnp.asarray(starts),
                     jnp.asarray(syms), jnp.asarray(ends), jnp.asarray(ll),

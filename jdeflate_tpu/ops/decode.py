@@ -236,83 +236,92 @@ def segmented_orbits(f: jnp.ndarray, eobf: jnp.ndarray,
                      sym_starts: jnp.ndarray,
                      block_ends: jnp.ndarray, nbits: int,
                      nseg: int, seg_bits: int, fix_iters: int = 3):
-    """Exact symbol-position extraction by strided speculation.
+    """Exact symbol-position extraction by strided speculation with lookback.
 
     Replaces dense pointer-doubling (log2(nbits) full-array gather rounds —
     the decode-side whale) with walks over a per-block segment grid:
 
-      A-pass: from every segment start, walk f speculatively until crossing
-        the segment end, recording visited positions into a bitmap (the
-        Huffman self-synchronization substrate, cf. rapidgzip).
+      A-pass: for segment m, walk f speculatively from the PREVIOUS segment's
+        start — one segment of lookback gives the walk a full segment to
+        self-synchronize with the true symbol lattice before its recording
+        window begins (sync failures decay exponentially with lookback, cf.
+        the rapidgzip speculation argument). Positions inside the window are
+        recorded into a bitmap; the first position at/after the window end is
+        the speculative exit.
       Stitch: segment m+1's true entry is segment m's exit — assumed from the
-        A-exits (exact for m=0: the grid anchors at sym_start) and verified
-        by D-walks, iterated to a fixpoint. The assumption only fails when a
-        true walk never merges with the speculative one inside its segment —
-        rare; unconverged lanes raise the error flag (caller falls back).
+        A-exits (exact for segments 0 and 1 by construction) and verified by
+        D-walks, iterated to a fixpoint; mispredicted stretches repair one
+        lane per iteration from their left edge, so the error flag trips only
+        on rare long stretches (caller falls back to the dense orbit).
       D-pass: walk from each entry; the merge point q is the first position
         present in the bitmap (positions are per-segment unique, so bitmap
         membership IS the own-segment check). True symbol positions are
-        D-steps before q plus A-steps from q on.
+        D-steps before q plus A-window records from q on; if no merge, the
+        D-walk alone covers the segment and its exit is exact anyway.
 
-    With seg_bits steps per walk (every symbol advances >= 1 bit) a walk
-    always crosses its segment, so there is no overflow case. A symbol may
-    span past the following segment boundary; the skipped segment's lane just
-    forwards the entry (records nothing).
+    f: (nbits+1,) absorbing next-symbol-bit map; eobf marks true end-of-block
+    symbols (a sentinel jump without EOB means the walk decoded garbage —
+    only speculative walks can do that; such exits are flagged BROKEN, never
+    trusted). Each block's grid is clamped to its own bit span, so recorded
+    positions are globally unique.
 
-    f: (nbits+1,) absorbing next-symbol-bit map (sentinel at nbits; EOB maps
-    to the sentinel, which also kills all later segments of the block).
-
-    Returns (positions (B*nseg*2*seg_bits,) i32 in stream order with
+    Returns (positions (B*nseg*(2*seg_bits+1),) i32 in stream order with
     sentinel nbits for inactive slots, err i32).
     """
     B = sym_starts.shape[0]
-    R = seg_bits
+    S = seg_bits
     m = jnp.tile(jnp.arange(nseg, dtype=jnp.int32), B)
     sb = jnp.repeat(sym_starts, nseg)
     eb = jnp.repeat(jnp.minimum(block_ends, nbits), nseg)
-    # grids are clamped to each block's own bit span, so walk-recorded
-    # positions are globally unique (the bitmap scatter-add relies on it)
-    seg_start = jnp.minimum(sb + m * seg_bits, eb)
-    seg_end = jnp.minimum(seg_start + seg_bits, eb)
+    seg_start = jnp.minimum(sb + m * S, eb)
+    seg_end = jnp.minimum(seg_start + S, eb)
+    lanes = B * nseg
     big = jnp.int32(nbits + 8)
-
     DEAD = jnp.int32(nbits)          # true end-of-chain (EOB reached)
     BROKEN = jnp.int32(nbits + 1)    # speculative walk hit an invalid slot
 
-    def walk(p0, bitmap):
-        """R-step walk. Returns (recs (R, lanes), exit_p, q_merge).
-
-        exit_p is the first position >= seg_end, or DEAD after a true EOB,
-        or BROKEN if the walk jumped to the sentinel without an EOB (it
-        decoded garbage — only speculative walks can do this)."""
+    def walk(p0, steps, bitmap):
+        """Walk f for `steps`; record positions in [seg_start, seg_end);
+        exit = first position >= seg_end (DEAD/BROKEN for sentinel jumps)."""
         def step(carry, _):
             p, exit_p, q = carry
             exited = exit_p < big
             at_end = p >= seg_end
             newly = ~exited & at_end
             exit_p = jnp.where(newly, jnp.minimum(p, BROKEN), exit_p)
-            active = ~exited & ~at_end
-            rec = jnp.where(active, p, nbits)
+            walking = ~exited & ~at_end
+            inwin = walking & (p >= seg_start)
+            rec = jnp.where(inwin, p, nbits)
             if bitmap is not None:
                 wq = bitmap[jnp.minimum(p >> 5, (nbits >> 5) + 1)]
-                hit = active & (((wq >> (p.astype(jnp.uint32) & 31)) & 1) == 1)
+                hit = inwin & (((wq >> (p.astype(jnp.uint32) & 31)) & 1) == 1)
                 q = jnp.where((q >= big) & hit, p, q)
             fp = f[jnp.minimum(p, nbits)]
-            ended = active & (fp >= nbits)
+            ended = walking & (fp >= nbits)
             fp = jnp.where(ended & (eobf[jnp.minimum(p, nbits)] > 0),
                            DEAD, jnp.where(ended, BROKEN, fp))
-            pn = jnp.where(active, fp, p)
+            pn = jnp.where(walking, fp, p)
             return (pn, exit_p, q), rec
 
         init = (p0, jnp.full_like(p0, big), jnp.full_like(p0, big))
-        (pf, exit_p, q), recs = jax.lax.scan(step, init, None, length=R)
-        exit_p = jnp.where(exit_p >= big, pf, exit_p)   # final boundary cross
+        (pf, exit_p, q), recs = jax.lax.scan(step, init, None, length=steps)
+        exit_p = jnp.where(exit_p >= big, jnp.minimum(pf, BROKEN), exit_p)
         return recs, exit_p, q
 
-    a_pos, a_exit, _ = walk(seg_start, None)
+    # A-pass with one segment of lookback (clamped at the block's sym start)
+    p0a = jnp.maximum(seg_start - S, jnp.minimum(sb, seg_start))
+    a_recs, a_exit, _ = walk(p0a, 2 * S, None)
+    # compress the 2S-step records into S+1 window slots
+    inwin = a_recs < nbits
+    slot = jnp.cumsum(inwin.astype(jnp.int32), axis=0) - inwin
+    lane_idx = jnp.broadcast_to(
+        jnp.arange(lanes, dtype=jnp.int32)[None, :], a_recs.shape)
+    flatidx = (lane_idx * (S + 1) + jnp.minimum(slot, S)).reshape(-1)
+    a_pos = jnp.full(lanes * (S + 1), nbits, jnp.int32).at[flatidx].min(
+        a_recs.reshape(-1)).reshape(lanes, S + 1)
 
     # visited bitmap: positions are unique across all walks, so add == or
-    flat = a_pos.reshape(-1)
+    flat = a_recs.reshape(-1)
     bw = (nbits >> 5) + 2
     bitmap = jnp.zeros(bw, jnp.uint32).at[
         jnp.minimum(flat >> 5, bw - 1)].add(
@@ -320,35 +329,79 @@ def segmented_orbits(f: jnp.ndarray, eobf: jnp.ndarray,
                   jnp.uint32(1) << (flat.astype(jnp.uint32) & 31), 0),
         mode="drop")
 
+    # lanes whose clamped segment is empty never hold symbols; pin them
+    degenerate = seg_start >= seg_end
+
     def entries_from(exits):
-        # a true EOB is absorbing: once a segment's exit is DEAD, every later
-        # segment of the block is dead — one cummax pass instead of one lane
-        # per fixpoint iteration. BROKEN exits forward as-is (corrected by
-        # later iterations, or flagged unconverged).
-        e = exits.reshape(B, nseg)
-        dead = jax.lax.cummax((e == nbits).astype(jnp.int32), axis=1) > 0
-        e = jnp.where(dead, nbits, e)
-        return jnp.concatenate([sym_starts[:, None], e[:, :-1]], 1).reshape(-1)
+        e = jnp.where(degenerate, DEAD, exits).reshape(B, nseg)
+        ent = jnp.concatenate([sym_starts[:, None], e[:, :-1]], 1).reshape(-1)
+        return jnp.where(degenerate, DEAD, ent)
 
     entry = entries_from(a_exit)
     err = jnp.int32(0)
-    d_pos = a_pos
+    d_recs = a_recs[:S]
     q = jnp.full_like(entry, big)
     for it in range(fix_iters):
-        d_pos, d_exit, q = walk(entry, bitmap)
+        d_recs, d_exit, q = walk(entry, S, bitmap)
         merged = q < big
         exit_sel = jnp.where(merged, a_exit, d_exit)
         new_entry = entries_from(exit_sel)
-        changed = jnp.sum((new_entry != entry).astype(jnp.int32))
+        live = ~degenerate
+        changed = jnp.sum(((new_entry != entry) & live).astype(jnp.int32))
         if it == fix_iters - 1:
             # unconverged or still-broken entries -> caller falls back
-            err = changed + jnp.sum((new_entry == nbits + 1).astype(jnp.int32))
+            err = changed + jnp.sum(
+                ((new_entry == nbits + 1) & live).astype(jnp.int32))
         entry = new_entry
 
-    d_slots = jnp.where(d_pos < q[None, :], d_pos, nbits)
-    a_slots = jnp.where((a_pos >= q[None, :]) & (a_pos < nbits), a_pos, nbits)
-    slots = jnp.concatenate([d_slots.T, a_slots.T], axis=1)   # (lanes, 2R)
+    d_slots = jnp.where(d_recs < q[None, :], d_recs, nbits)      # (S, lanes)
+    a_slots = jnp.where(a_pos >= q[:, None], a_pos, nbits)       # (lanes, S+1)
+    slots = jnp.concatenate([d_slots.T, a_slots], axis=1)
     return slots.reshape(-1), err
+
+
+ANCHOR_STRIDE = 64   # encoder emits every 64th symbol's bit offset
+
+
+def anchored_walk(words: jnp.ndarray, ltab: jnp.ndarray, dtab: jnp.ndarray,
+                  tb: jnp.ndarray, starts: jnp.ndarray, ends: jnp.ndarray,
+                  steps: int = ANCHOR_STRIDE):
+    """Exact decode walks between known symbol anchors (no speculation).
+
+    Our encoder records every 64th symbol's bit position in the stream index
+    (the bitpack scan knows every offset for free), so decode entry points
+    are exact: each lane walks `steps` symbols on demand via f_eval. A lane
+    finishes by landing exactly on its end anchor or by decoding the block's
+    EOB; anything else (overshoot, invalid entry, unfinished) raises err.
+
+    starts/ends/tb: (L,) i32 — local bit positions and per-lane table bases;
+    padding lanes use starts >= ends with ends <= 0 ... any lane with
+    starts < 0 is inactive.
+
+    Returns (outlen, lit, dist: (L, steps) i32 slot arrays, err i32).
+    """
+    active0 = starts >= 0
+
+    def step(carry, _):
+        p, done, err = carry
+        active = ~done
+        nxt, outlen, lit, dist, invalid, is_eob = f_eval(
+            words, ltab, dtab, tb, jnp.maximum(p, 0))
+        outlen = jnp.where(active, outlen, 0)
+        lit = jnp.where(active, lit, 0)
+        dist = jnp.where(active, dist, 0)
+        err = err | (active & invalid)
+        overshoot = active & ~is_eob & (nxt > ends)
+        err = err | overshoot
+        done_now = active & (is_eob | (nxt >= ends))
+        p = jnp.where(active, nxt, p)
+        return (p, done | done_now, err), (outlen, lit, dist)
+
+    init = (starts, ~active0, jnp.zeros_like(active0))
+    (pf, done, errs), (outlen, lit, dist) = jax.lax.scan(
+        step, init, None, length=steps)
+    err = jnp.sum(errs.astype(jnp.int32)) + jnp.sum((~done).astype(jnp.int32))
+    return outlen.T, lit.T, dist.T, err
 
 
 def orbits(f_local: jnp.ndarray, starts: jnp.ndarray, max_syms: int) -> jnp.ndarray:
