@@ -33,7 +33,8 @@ HALO = C.WINDOW_SIZE          # per-block history (previous block tail / dict)
 PAD = 272                     # match-extension overread guard
 RLE_SLOTS = 320               # >= 286+30 worst-case precode RLE symbols
 HDR_ITEMS = 2 + 19 + RLE_SLOTS
-_SENT = jnp.int32(19)         # run-breaking sentinel code length
+_SENT = np.int32(19)          # run-breaking sentinel code length (np, not jnp:
+# eager device constants captured in traces force a d2h at lowering)
 
 # Precode RLE extra-bit counts per symbol (16 -> 2, 17 -> 3, 18 -> 7).
 _P_EXTRA = np.zeros(19, np.int32)

@@ -66,6 +66,10 @@ def build_tables_batch(lengths: jnp.ndarray, kinds: jnp.ndarray,
     start) — avoids TPU's slow batched-gather lowering.
     """
     B, n = lengths.shape
+    # np->jnp here (inside the trace) so the tables embed as MLIR constants
+    kinds = jnp.asarray(kinds)
+    extras = jnp.asarray(extras)
+    payloads = jnp.asarray(payloads)
     l = lengths.astype(jnp.int32)
     codes = jax.vmap(lambda x: huffman.canonical_codes(x, C.MAX_CODE_BITS)[0])(l)
     used = l > 0
@@ -111,7 +115,8 @@ def litlen_attrs():
     payloads[256:] = 0
     extras[257:286] = C.LENGTH_EXTRA
     payloads[257:286] = C.LENGTH_BASE
-    return (jnp.asarray(kinds), jnp.asarray(extras), jnp.asarray(payloads))
+    # np arrays (not jnp): safe to capture in traces without a lowering d2h
+    return kinds, extras, payloads
 
 
 def dist_attrs():
@@ -121,7 +126,7 @@ def dist_attrs():
     payloads = np.zeros(32, np.int32)
     extras[:30] = C.DIST_EXTRA
     payloads[:30] = C.DIST_BASE
-    return (jnp.asarray(kinds), jnp.asarray(extras), jnp.asarray(payloads))
+    return kinds, extras, payloads
 
 
 def extract_bits(words: jnp.ndarray, p: jnp.ndarray, n) -> jnp.ndarray:

@@ -21,8 +21,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_INF = jnp.int32(0x3FFFFFFF)
+# np scalar, NOT jnp: an eagerly-created device array captured as a trace
+# constant forces a device->host read at lowering time, which on the axon
+# backend permanently degrades the process to synchronous per-dispatch mode.
+_INF = np.int32(0x3FFFFFFF)
 
 
 def code_lengths(freqs: jnp.ndarray, max_bits: int) -> jnp.ndarray:

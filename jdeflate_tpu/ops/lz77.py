@@ -30,7 +30,8 @@ import numpy as np
 
 from ..formats import constants as C
 
-HASH_MULT = jnp.uint32(0x1E35A7BD)   # cf. deflator.c:1946
+HASH_MULT = np.uint32(0x1E35A7BD)   # cf. deflator.c:1946 (np, not jnp: eager
+# device constants captured in traces force a d2h at lowering — see huffman._INF)
 HASH_BITS = 15
 MAX_EXT_STEPS = 16                   # 16 + 16*16 = 272 >= 258 byte cap
 
