@@ -227,19 +227,10 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     length, dist = lz77.find_matches_batch(
         ext, block_len, valid_from, HALO, bl, PAD, max(cfg.probes, 1),
         cfg.rerank)
-    next_flat, take = lz77.parse_batch(length, dist, block_len, bl,
-                                       cfg.lazy, cfg.good_length)
-    p = lz77.orbit_batch(next_flat, B, bl)            # (B, bl) local
-    # token flags via ONE flat scatter; everything downstream is elementwise
-    # per position (random access is the scarce resource on TPU)
-    tb = (jnp.arange(B, dtype=jnp.int32) * (bl + 1))[:, None]
-    tok_flat = jnp.zeros(B * (bl + 1), jnp.int32).at[
-        (tb + jnp.minimum(p, bl)).reshape(-1)].set(1)
-    bpos = jnp.arange(bl, dtype=jnp.int32)[None, :]
-    is_tok = (tok_flat.reshape(B, bl + 1)[:, :bl] > 0) \
-        & (bpos < block_len[:, None])
-
-    t_take = is_tok & take
+    take = lz77.parse_take(length, dist, block_len, cfg.lazy, cfg.good_length)
+    # sequential-parse equivalent via the match-space walk (Pallas on TPU):
+    # runs once per emitted match, not once per position
+    is_tok, t_take = lz77.token_marks_batch(length, take, block_len, bl)
     t_len = jnp.where(t_take, length, 0)
     t_dist = jnp.where(t_take, dist, 0)
     t_lit = ext[:, HALO:HALO + bl].astype(jnp.int32)

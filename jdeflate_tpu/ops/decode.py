@@ -41,14 +41,17 @@ TABLE_BITS = 15
 TABLE_SIZE = 1 << TABLE_BITS
 
 
-@functools.lru_cache(maxsize=None)
-def _rev15() -> np.ndarray:
-    """Bit-reversal permutation of 15-bit indices (host constant)."""
-    t = np.arange(TABLE_SIZE, dtype=np.int64)
-    r = np.zeros_like(t)
-    for b in range(TABLE_BITS):
-        r |= ((t >> b) & 1) << (TABLE_BITS - 1 - b)
-    return r.astype(np.int32)
+def rev15(x: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise 15-bit reversal (u32 in, u32 out).
+
+    Tables are filled contiguously in MSB-aligned canonical space (the fill
+    is a scan there); the stream delivers codes LSB-first, so lookups reverse
+    the extracted bits — 6 vector ops instead of a 32k-permutation gather."""
+    x = ((x & 0x5555) << 1) | ((x >> 1) & 0x5555)
+    x = ((x & 0x3333) << 2) | ((x >> 2) & 0x3333)
+    x = ((x & 0x0F0F) << 4) | ((x >> 4) & 0x0F0F)
+    x = ((x & 0x00FF) << 8) | ((x >> 8) & 0x00FF)
+    return x >> 1
 
 
 def build_tables_batch(lengths: jnp.ndarray, kinds: jnp.ndarray,
@@ -61,9 +64,14 @@ def build_tables_batch(lengths: jnp.ndarray, kinds: jnp.ndarray,
     code decode as invalid (kind 0) — foreign-stream validation relies on
     this (cf. inflator.c:454-474).
 
-    Batched searchsorted is expressed as ONE flat searchsorted by placing each
-    block's MSB-aligned interval starts in disjoint value ranges (b << 15 |
-    start) — avoids TPU's slow batched-gather lowering.
+    Gather-free fill (TPU: random gathers run ~133M elem/s; scans and tiny
+    scatters are orders of magnitude faster): each code's ENTRY value is
+    scattered at its MSB-aligned interval start and forward-filled by a
+    per-block cummax. A cummax carries the max, not the last value, so each
+    scattered word is (start << 16 | entry_half) — interval starts strictly
+    ascend in canonical order, making the packed words monotone within a
+    block; two passes carry the two entry halves. Coverage (incomplete
+    trees) comes from a +1/-1 interval diff + cumsum.
     """
     B, n = lengths.shape
     # np->jnp here (inside the trace) so the tables embed as MLIR constants
@@ -73,35 +81,42 @@ def build_tables_batch(lengths: jnp.ndarray, kinds: jnp.ndarray,
     l = lengths.astype(jnp.int32)
     codes = jax.vmap(lambda x: huffman.canonical_codes(x, C.MAX_CODE_BITS)[0])(l)
     used = l > 0
-    # MSB-aligned interval starts, canonical order == ascending (len, code)
-    key = jnp.where(used, (l << 16) | codes, jnp.int32(0x7FFFFFFF))
-    order = jnp.argsort(key, axis=1)                    # (B, n)
-    bflat = (jnp.arange(B, dtype=jnp.int32) * n)[:, None]
-    order_f = (bflat + order).reshape(-1)
-    l_s = l.reshape(-1)[order_f]
-    used_s = used.reshape(-1)[order_f]
-    codes_s = codes.reshape(-1)[order_f]
-    start_s = jnp.where(used_s,
-                        codes_s << jnp.clip(TABLE_BITS - l_s, 0, TABLE_BITS),
-                        TABLE_SIZE)
-    width_s = jnp.where(used_s, 1 << jnp.clip(TABLE_BITS - l_s, 0, TABLE_BITS), 0)
-    blk = jnp.repeat(jnp.arange(B, dtype=jnp.int32), n)
-    flat_starts = blk * (TABLE_SIZE + 1) + start_s       # strictly segmented
+    start = jnp.where(used, codes << jnp.clip(TABLE_BITS - l, 0, TABLE_BITS),
+                      TABLE_SIZE)
+    width = jnp.where(used, 1 << jnp.clip(TABLE_BITS - l, 0, TABLE_BITS), 0)
+    sym = jnp.arange(n, dtype=jnp.int32)[None, :]
+    entry = (l | kinds[sym] << 5
+             | extras[sym] << 8 | payloads[sym] << 16).astype(jnp.uint32)
+    entry = jnp.where(used, entry, 0)
 
-    t_msb = jnp.asarray(_rev15())                        # (TABLE_SIZE,)
-    qblk = jnp.repeat(jnp.arange(B, dtype=jnp.int32), TABLE_SIZE)
-    q = qblk * (TABLE_SIZE + 1) + jnp.tile(t_msb, B)
-    j = jnp.searchsorted(flat_starts, q, side="right").astype(jnp.int32) - 1
-    jc = jnp.clip(j, 0, B * n - 1)
-    same_blk = (jc // n) == qblk
-    tq = jnp.tile(t_msb, B)
-    covered = (j >= 0) & same_blk & (tq < start_s[jc] + width_s[jc])
-    sym = (order_f[jc] - (jc // n) * n)
-    entry = (l.reshape(-1)[order_f[jc]]
-             | (kinds[sym] << 5)
-             | (extras[sym] << 8)
-             | (payloads[sym] << 16)).astype(jnp.uint32)
-    return jnp.where(covered, entry, jnp.uint32(0))
+    NT = B * TABLE_SIZE
+    bbase = (jnp.arange(B, dtype=jnp.int32) * TABLE_SIZE)[:, None]
+    pos = jnp.where(used, bbase + start, NT).reshape(-1)
+    # canonical starts are unique per block unless the tree is oversubscribed;
+    # .max keeps that case deterministic (callers validate Kraft sums
+    # upstream, cf. inflator.c:456-474). start<<16|half <= 32767<<16|65535
+    # = INT32_MAX, so the packed key fits i32 exactly.
+    lo16 = (entry & 0xFFFF).astype(jnp.int32)
+    hi16 = (entry >> 16).astype(jnp.int32)
+    key1 = jnp.where(used, (start << 16) | lo16, 0)
+    key2 = jnp.where(used, (start << 16) | hi16, 0)
+    pk1 = jnp.zeros(NT, jnp.int32).at[pos].max(key1.reshape(-1), mode="drop")
+    pk2 = jnp.zeros(NT, jnp.int32).at[pos].max(key2.reshape(-1), mode="drop")
+    pk1 = jax.lax.cummax(pk1.reshape(B, TABLE_SIZE), axis=1).reshape(-1)
+    pk2 = jax.lax.cummax(pk2.reshape(B, TABLE_SIZE), axis=1).reshape(-1)
+    ent = ((pk1 & 0xFFFF) | ((pk2 & 0xFFFF) << 16)).astype(jnp.uint32)
+    # interval coverage: invalid for incomplete trees' holes and empty blocks
+    # (stride T+1 so a code ending exactly at TABLE_SIZE stays in its block)
+    T1 = TABLE_SIZE + 1
+    bbase1 = (jnp.arange(B, dtype=jnp.int32) * T1)[:, None]
+    pos1 = jnp.where(used, bbase1 + start, B * T1).reshape(-1)
+    end1 = jnp.where(used, bbase1 + start + width, B * T1).reshape(-1)
+    dif = jnp.zeros(B * T1, jnp.int32).at[pos1].add(
+        jnp.where(used, 1, 0).reshape(-1), mode="drop")
+    dif = dif.at[end1].add(jnp.where(used, -1, 0).reshape(-1), mode="drop")
+    covered = jnp.cumsum(
+        dif.reshape(B, T1), axis=1)[:, :TABLE_SIZE].reshape(-1) > 0
+    return jnp.where(covered, ent, jnp.uint32(0))
 
 
 def litlen_attrs():
@@ -151,7 +166,7 @@ def f_eval(words: jnp.ndarray, ltab: jnp.ndarray, dtab: jnp.ndarray,
     function of the wavefront design, evaluated on demand (the dense
     per-bit array is never materialized; random access is scarce on TPU).
     """
-    e1 = ltab[tb + extract_bits(words, p, TABLE_BITS).astype(jnp.int32)]
+    e1 = ltab[tb + rev15(extract_bits(words, p, TABLE_BITS)).astype(jnp.int32)]
     c1 = (e1 & 31).astype(jnp.int32)
     k1 = ((e1 >> 5) & 7).astype(jnp.int32)
     ex1 = ((e1 >> 8) & 15).astype(jnp.int32)
@@ -166,7 +181,7 @@ def f_eval(words: jnp.ndarray, ltab: jnp.ndarray, dtab: jnp.ndarray,
     lext = extract_bits(words, p_ext, ex1).astype(jnp.int32)
     length = pay1 + lext
     p2 = p_ext + ex1
-    e2 = dtab[tb + extract_bits(words, p2, TABLE_BITS).astype(jnp.int32)]
+    e2 = dtab[tb + rev15(extract_bits(words, p2, TABLE_BITS)).astype(jnp.int32)]
     c2 = (e2 & 31).astype(jnp.int32)
     k2 = ((e2 >> 5) & 7).astype(jnp.int32)
     ex2 = ((e2 >> 8) & 15).astype(jnp.int32)
@@ -196,7 +211,7 @@ def wavefront_decode(words: jnp.ndarray, bit_lo: jnp.ndarray, nbits: int,
     """
     p = bit_lo + jnp.arange(nbits, dtype=jnp.int32)
     tb = bid * TABLE_SIZE
-    e1 = ltab[tb + extract_bits(words, p, TABLE_BITS).astype(jnp.int32)]
+    e1 = ltab[tb + rev15(extract_bits(words, p, TABLE_BITS)).astype(jnp.int32)]
     c1 = (e1 & 31).astype(jnp.int32)
     k1 = ((e1 >> 5) & 7).astype(jnp.int32)
     ex1 = ((e1 >> 8) & 15).astype(jnp.int32)
@@ -213,7 +228,7 @@ def wavefront_decode(words: jnp.ndarray, bit_lo: jnp.ndarray, nbits: int,
     lext = extract_bits(words, p_ext, ex1).astype(jnp.int32)
     length = pay1 + lext
     p2 = p_ext + ex1
-    e2 = dtab[tb + extract_bits(words, p2, TABLE_BITS).astype(jnp.int32)]
+    e2 = dtab[tb + rev15(extract_bits(words, p2, TABLE_BITS)).astype(jnp.int32)]
     c2 = (e2 & 31).astype(jnp.int32)
     k2 = ((e2 >> 5) & 7).astype(jnp.int32)
     ex2 = ((e2 >> 8) & 15).astype(jnp.int32)

@@ -229,6 +229,144 @@ def _match_cost_bits(length, dist):
     return 13 + lex[jnp.clip(length, 0, 258)] + dex
 
 
+def parse_take(length: jnp.ndarray, dist: jnp.ndarray, block_len: jnp.ndarray,
+               lazy: bool, good_length: int) -> jnp.ndarray:
+    """Per-position candidate rule: would the sequential parser accept a match
+    here if it arrives? (greedy: len>3, compress1 deflator.c:2476; lazy:
+    compress2's lookahead heuristics, deflator.c:2829-2906, with the
+    documented cost-aware deferral deviation). Pure local decision — the
+    sequential walk only reads it, so the walk can run in match space."""
+    B = length.shape[0]
+    if not lazy:
+        return length > C.MIN_MATCH
+    ok = (length >= C.MIN_MATCH) & ~((length == C.MIN_MATCH) & (dist > 8192))
+    ln = jnp.concatenate([length[:, 1:], jnp.zeros((B, 1), jnp.int32)], 1)
+    dn = jnp.concatenate([dist[:, 1:], jnp.ones((B, 1), jnp.int32)], 1)
+    ok_n = (ln >= C.MIN_MATCH) & ~((ln == C.MIN_MATCH) & (dn > 8192))
+    defer = ok_n & (
+        (8 + _match_cost_bits(ln, dn)) * length <
+        _match_cost_bits(length, dist) * (1 + ln))
+    return ok & ((length >= good_length) | ~defer)
+
+
+def _walk_kernel(cnext_ref, length_ref, blen_ref, ms_ref, me_ref):
+    """Sequential match-to-match walk, 8 blocks per grid step (Pallas, TPU).
+
+    The reference's parse cursor (compress1/compress2 loop,
+    src/deflator.c:2430-2973) visits every position; here literal runs are
+    skipped entirely via cnext (next accepted-candidate at/or-after), so the
+    loop runs once per EMITTED MATCH (<= bl/3 worst case, ~3k typical for a
+    64 KiB block). Outputs: match-start and match-end(exclusive) marks."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ms_ref[:] = jnp.zeros_like(ms_ref)
+    me_ref[:] = jnp.zeros_like(me_ref)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    W = ms_ref.shape[0] // 8           # 128-wide rows per block
+
+    # Mosaic only supports dynamic VMEM indexing on the sublane dim with full
+    # 128-lane rows: scalar load = dynamic-row load + rotate + lane-0 extract;
+    # scalar store = one-hot row RMW. Arrays are (8*W, 128), block r at rows
+    # [r*W, (r+1)*W), position p in row r*W + p//128, lane p%128.
+    def loadat(ref, rbase, p):
+        rowv = ref[pl.ds(rbase + (p >> 7), 1), :]
+        return pltpu.roll(rowv, -(p & 127), 1)[0, 0]
+
+    def mark(ref, rbase, p):
+        r = rbase + (p >> 7)
+        old = ref[pl.ds(r, 1), :]
+        ref[pl.ds(r, 1), :] = old | (lane == (p & 127)).astype(jnp.int32)
+
+    def row(r, _):
+        blen = blen_ref[pl.program_id(0) * 8 + r]
+        rbase = r * W
+
+        def cond(p):
+            return p < blen
+
+        def body(p):
+            ln = loadat(length_ref, rbase, p)
+            e = p + ln
+            mark(ms_ref, rbase, p)
+            mark(me_ref, rbase, e)
+            return loadat(cnext_ref, rbase, e)
+
+        jax.lax.while_loop(cond, body, loadat(cnext_ref, rbase, 0))
+        return 0
+
+    jax.lax.fori_loop(0, 8, row, 0)
+
+
+def token_marks_batch(length: jnp.ndarray, take: jnp.ndarray,
+                      block_len: jnp.ndarray, bl: int):
+    """Token flags for the whole batch: (is_tok, is_match), each (B, bl).
+
+    is_match marks the match tokens the sequential greedy/lazy cursor would
+    emit; is_tok additionally marks every literal position not covered by an
+    emitted match. Exact — identical to walking next[] = p + (take ? len : 1)
+    from 0 — but runs once per match, not once per position.
+
+    TPU: Pallas sequential walk per block (grid over blocks). Other backends
+    (CPU tests): dense pointer-doubling fallback.
+    """
+    B = length.shape[0]
+    pos = jnp.arange(bl, dtype=jnp.int32)[None, :]
+    cand_pos = jnp.where(take & (pos < block_len[:, None]), pos, bl)
+    # next candidate at-or-after p: reverse cummin, absorbing bl
+    cnext = jnp.flip(jax.lax.cummin(jnp.flip(cand_pos, 1), axis=1), 1)
+    padn = (-(bl + 1)) % 128 + 1
+    cnextp = jnp.concatenate(
+        [cnext, jnp.full((B, padn), bl, jnp.int32)], 1)          # (B, bl+padn)
+    lenp = jnp.concatenate(
+        [jnp.maximum(length, 1), jnp.full((B, padn), 1, jnp.int32)], 1)
+
+    if jax.default_backend() == "cpu":
+        nxt = jnp.where(take, length, 1)
+        nxt = jnp.minimum(pos + nxt, bl)
+        nxt = jnp.where(pos < block_len[:, None], nxt, bl)
+        nxt = jnp.concatenate([nxt, jnp.full((B, 1), bl, jnp.int32)], 1)
+        base = (jnp.arange(B, dtype=jnp.int32) * (bl + 1))[:, None]
+        p = orbit_batch((nxt + base).reshape(-1), B, bl)
+        tb = base
+        tok_flat = jnp.zeros(B * (bl + 1), jnp.int32).at[
+            (tb + jnp.minimum(p, bl)).reshape(-1)].set(1)
+        is_tok = (tok_flat.reshape(B, bl + 1)[:, :bl] > 0) \
+            & (pos < block_len[:, None])
+        return is_tok, is_tok & take
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    n = bl + padn
+    Bp = -(-B // 8) * 8               # blocks per grid step = 8 (sublane tile)
+    if Bp != B:
+        zp = ((0, Bp - B), (0, 0))
+        cnextp = jnp.pad(cnextp, zp, constant_values=bl)
+        lenp = jnp.pad(lenp, zp, constant_values=1)
+    blp = jnp.pad(block_len, (0, Bp - B)) if Bp != B else block_len
+    W = n // 128
+    rows = pl.BlockSpec((8 * W, 128), lambda b: (b, 0),
+                        memory_space=pltpu.VMEM)
+    ms, me = pl.pallas_call(
+        _walk_kernel,
+        grid=(Bp // 8,),
+        in_specs=[
+            rows, rows,
+            pl.BlockSpec((Bp,), lambda b: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[rows, rows],
+        out_shape=[jax.ShapeDtypeStruct((Bp * W, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((Bp * W, 128), jnp.int32)],
+    )(cnextp.reshape(Bp * W, 128), lenp.reshape(Bp * W, 128), blp)
+    ms = ms.reshape(Bp, n)
+    me = me.reshape(Bp, n)
+    active = jnp.cumsum(ms[:B] - me[:B], axis=1)[:, :bl]
+    is_match = ms[:B, :bl] > 0
+    live = pos < block_len[:, None]
+    is_tok = (is_match | (active <= 0)) & live
+    return is_tok, is_match & live
+
+
 def parse_batch(length: jnp.ndarray, dist: jnp.ndarray, block_len: jnp.ndarray,
                 bl: int, lazy: bool, good_length: int):
     """Local greedy/lazy decision -> flat next[] with per-block sentinels.
@@ -247,17 +385,7 @@ def parse_batch(length: jnp.ndarray, dist: jnp.ndarray, block_len: jnp.ndarray,
     sentinel at local index bl.
     """
     B = length.shape[0]
-    if not lazy:
-        take = length > C.MIN_MATCH
-    else:
-        ok = (length >= C.MIN_MATCH) & ~((length == C.MIN_MATCH) & (dist > 8192))
-        ln = jnp.concatenate([length[:, 1:], jnp.zeros((B, 1), jnp.int32)], 1)
-        dn = jnp.concatenate([dist[:, 1:], jnp.ones((B, 1), jnp.int32)], 1)
-        ok_n = (ln >= C.MIN_MATCH) & ~((ln == C.MIN_MATCH) & (dn > 8192))
-        defer = ok_n & (
-            (8 + _match_cost_bits(ln, dn)) * length <
-            _match_cost_bits(length, dist) * (1 + ln))
-        take = ok & ((length >= good_length) | ~defer)
+    take = parse_take(length, dist, block_len, lazy, good_length)
     step = jnp.where(take, length, 1)
     i = jnp.arange(bl, dtype=jnp.int32)[None, :]
     nxt = jnp.minimum(i + step, bl)
