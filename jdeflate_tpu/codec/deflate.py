@@ -403,6 +403,32 @@ encode_batch = jax.jit(
     encode_batch_impl, static_argnames=("bl", "batch", "level", "num_words"))
 
 
+@functools.partial(jax.jit, static_argnames=("bl", "batch", "level",
+                                             "num_words"))
+def encode_batch_packed(data, start_block, total_len, dict_len, final_block,
+                        bl: int, batch: int, level: int, num_words: int):
+    """encode_batch + all small outputs packed into ONE i32 array.
+
+    The axon backend drops a process into synchronous per-dispatch mode after
+    its first device->host read, so drivers dispatch every batch first and
+    read back once per batch afterwards; packing shrinks that to two reads
+    (words + meta) per batch. meta = [total, ntok, per_block(batch),
+    nsyms(batch), stored(batch), anchors(batch*amax)].
+    """
+    words, total, per_block, ntok, anchors, nsyms, stored = encode_batch_impl(
+        data, start_block, total_len, dict_len, final_block,
+        bl, batch, level, num_words)
+    meta = jnp.concatenate([
+        total[None] if total.ndim else jnp.reshape(total, (1,)),
+        jnp.reshape(ntok, (1,)),
+        per_block.astype(jnp.int32),
+        nsyms.astype(jnp.int32),
+        stored.astype(jnp.int32),
+        anchors.reshape(-1).astype(jnp.int32),
+    ])
+    return words, meta
+
+
 def words_bound(bl: int, batch: int) -> int:
     """Static output-word bound: <=11 bits/byte (len-3 far match worst case
     under static codes) plus per-block header slack."""
@@ -450,8 +476,6 @@ class RawDeflater:
         # segment's halo is the preceding 32 KiB of the stream (or the preset
         # dictionary for the first segment).
         seg = batch * bl
-        buf = np.zeros(HALO + seg + PAD, np.uint8)
-
         nw = words_bound(bl, batch)
         out = bytearray()
         index_bits = []          # absolute bit offset of each block start
@@ -459,10 +483,17 @@ class RawDeflater:
         sync_points = []
         final_idx = nblocks - 1 if final else -1
         anchors_out = []
+
+        # Phase 1: dispatch every segment (no device->host reads — the first
+        # read drops the axon process into sync per-dispatch mode)
+        handles = []
         for b0 in range(0, nblocks, batch):
             s = b0 * bl
             seg_n = min(n - s, seg)
-            buf[:] = 0
+            # fresh buffer per segment: dispatch is deferred and jnp.asarray
+            # may alias host memory on the CPU backend — reuse would let a
+            # later segment overwrite an earlier one's still-unread input
+            buf = np.zeros(HALO + seg + PAD, np.uint8)
             h = min(HALO, s + len(dict_bytes))
             if s >= HALO:
                 buf[0:HALO] = arr[s - HALO:s]
@@ -472,14 +503,19 @@ class RawDeflater:
                 buf[HALO - h:HALO] = np.frombuffer(hist, np.uint8)
             buf[HALO:HALO + seg_n] = arr[s:s + seg_n]
             dev = jnp.asarray(buf)
-            words, total, per_block, _, anchors, nsyms, stored = encode_batch(
+            handles.append((b0, encode_batch_packed(
                 dev, jnp.int32(0), jnp.int32(seg_n), jnp.int32(h),
-                jnp.int32(final_idx - b0), bl, batch, self.level, nw)
-            total = int(total)
-            anc = np.asarray(anchors)
-            stored_h = np.asarray(stored)
+                jnp.int32(final_idx - b0), bl, batch, self.level, nw)))
+
+        # Phase 2: read back and assemble
+        amax = ((HDR_ITEMS + bl + 1) - HDR_ITEMS) // 64 + 2
+        for b0, (words, meta) in handles:
+            m = np.asarray(meta)
+            total = int(m[0])
+            pb = m[2:2 + batch]
+            stored_h = m[2 + 2 * batch:2 + 3 * batch]
+            anc = m[2 + 3 * batch:].reshape(batch, amax)
             wb = np.asarray(words).view(np.uint8)  # little-endian words
-            pb = np.asarray(per_block)
             base_bits = len(out) * 8
             acc = 0
             for i in range(min(batch, nblocks - b0)):

@@ -54,8 +54,17 @@ def _assemble_output(o_len, o_lit, o_dist, halo, out_cap):
     cover = jax.lax.cummax(cover)
     covc = jnp.clip(cover, 0, tok_idx.shape[0] - 1)
     q = jnp.arange(n, dtype=jnp.int32)
-    is_match_pos = (cover >= 0) & (o_dist[covc] > 0)
-    src = jnp.where(is_match_pos, q - o_dist[covc], q)
+    d = o_dist[covc]
+    is_match_pos = (cover >= 0) & (d > 0)
+    # intra-match collapse: position q of a match token copies straight from
+    # the d-byte window before the token (toff-d + (q-toff) mod d), so
+    # overlapping copies (d < len: RLE runs, the reference's wavefront copy
+    # inflator.c:1747-1753) resolve in ONE hop instead of len/d doubling
+    # rounds; remaining chains only cross OTHER tokens (nesting depth).
+    toff = off[covc]
+    rel = q - toff
+    src = jnp.where(is_match_pos,
+                    toff - d + rel % jnp.maximum(d, 1), q)
     src = jnp.clip(src, 0, n - 1)
     resolved = (q < HALO) | ((cover >= 0) & ~is_match_pos)
     mask = q < HALO + produced
@@ -66,9 +75,69 @@ def _assemble_output(o_len, o_lit, o_dist, halo, out_cap):
     return val[HALO:].astype(jnp.uint8), produced, err
 
 
-@functools.partial(jax.jit, static_argnames=("lanes", "nblocks", "out_cap"))
+@functools.partial(jax.jit, static_argnames=("ncap",))
+def roll_window(win: jnp.ndarray, out: jnp.ndarray, produced, ncap: int):
+    """New 32 KiB window = last HALO bytes of (win ++ out[:produced]).
+
+    Device-side so batches chain without any host readback (the reference
+    updates its ring window the same way after every call,
+    src/inflator.c:616-675)."""
+    cat = jnp.concatenate([win, out[:ncap]])
+    return jax.lax.dynamic_slice(
+        cat, (jnp.clip(produced, 0, ncap),), (HALO,))
+
+
+def _assemble_pallas(o_len, o_lit, o_dist, halo, out_cap: int,
+                     first_slots, nblocks: int):
+    """Token slots -> output bytes via the Pallas match-expansion kernel.
+
+    Literals: one scatter. Matches: compacted to stream order by a sort and
+    expanded block-sequentially in VMEM (ops/expand.py) — replaces the
+    pointer-doubling lz_resolve whale (~30 full-buffer gather rounds).
+    first_slots: (nblocks+1,) host-known slot index of each block's first
+    lane (lanes are block-contiguous)."""
+    from ..ops import expand as ex
+    S = o_len.shape[0]
+    off = HALO + jnp.cumsum(o_len) - o_len
+    produced = jnp.sum(o_len)
+    rows_n = (HALO + out_cap + ex.REGION) // 128 + 2
+    N = rows_n * 128
+    val = jnp.zeros(N, jnp.uint8).at[:HALO].set(halo)
+    is_tok = o_len > 0
+    is_lit = is_tok & (o_dist == 0)
+    val = val.at[jnp.where(is_lit, off, N)].set(
+        o_lit.astype(jnp.uint8), mode="drop")
+
+    is_m = o_dist > 0
+    slot = jnp.arange(S, dtype=jnp.int32)
+    key = jnp.where(is_m, slot, S)
+    skey, m_off, m_d, m_len = jax.lax.sort(
+        (key, off, o_dist, o_len), num_keys=1)
+    trows = S // 32 + ex.TROWS + 2
+    toks4 = jnp.zeros((trows * 32, 4), jnp.int32)
+    toks4 = toks4.at[:S, 0].set(m_off).at[:S, 1].set(m_d).at[:S, 2].set(m_len)
+    toks4 = toks4.reshape(trows, 128)
+
+    fs = first_slots.astype(jnp.int32)
+    t0s = jnp.searchsorted(skey, fs).astype(jnp.int32)       # match ranges
+    out_ss = off[jnp.clip(fs, 0, S - 1)]
+    out_ss = jnp.where(fs >= S, HALO + produced, out_ss)
+    ranges = jnp.stack(
+        [t0s[:-1], t0s[1:], out_ss[:-1], jnp.zeros(nblocks, jnp.int32)],
+        axis=1).reshape(-1)
+
+    val2d = ex.expand_matches(val.reshape(-1, 128), toks4, ranges, nblocks)
+    out = val2d.reshape(-1)[HALO:HALO + out_cap]
+    err = jnp.sum((is_tok & (off + o_len > HALO + out_cap)).astype(jnp.int32))
+    return out, produced, err
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "lanes", "nblocks", "out_cap", "use_pallas"))
 def decode_batch_anchored(words, tb, starts, ends, ll, dl, halo,
-                          lanes: int, nblocks: int, out_cap: int):
+                          lanes: int, nblocks: int, out_cap: int,
+                          use_pallas: bool = False,
+                          first_slots=None):
     """Exact anchored decode: every lane walks 64 symbols from a known
     symbol anchor (encoder-provided index; no speculation, no dense f)."""
     lk, le, lp = dk.litlen_attrs()
@@ -77,8 +146,14 @@ def decode_batch_anchored(words, tb, starts, ends, ll, dl, halo,
     dtab = dk.build_tables_batch(dl, dkk, de, dp)
     outlen, lit, dist, werr = dk.anchored_walk(
         words, ltab, dtab, tb, starts, ends)
-    out, produced, aerr = _assemble_output(
-        outlen.reshape(-1), lit.reshape(-1), dist.reshape(-1), halo, out_cap)
+    if use_pallas:
+        out, produced, aerr = _assemble_pallas(
+            outlen.reshape(-1), lit.reshape(-1), dist.reshape(-1), halo,
+            out_cap, first_slots, nblocks)
+    else:
+        out, produced, aerr = _assemble_output(
+            outlen.reshape(-1), lit.reshape(-1), dist.reshape(-1), halo,
+            out_cap)
     return out, produced, werr + aerr
 
 
@@ -174,8 +249,17 @@ class RawInflater:
         raw_np = np.frombuffer(rawpad, dtype=np.uint8)
         wwords = (self.max_batch_bits >> 5) + 16
 
-        out = bytearray()
-        window = bytearray(dictionary[-HALO:])
+        # Phase 1 dispatches every batch with a device-chained window and NO
+        # device->host reads (the first read drops the axon process into
+        # synchronous per-dispatch mode); phase 2 reads results back and
+        # re-decodes sequentially from the first error (rare: corruption or
+        # speculation failure on foreign-indexed streams).
+        halo0 = np.zeros(HALO, np.uint8)
+        d0 = dictionary[-HALO:]
+        if d0:
+            halo0[HALO - len(d0):] = np.frombuffer(d0, np.uint8)
+        win = jnp.asarray(halo0)
+        plan = []
         i = 0
         while i < nblk:
             rec = recs[i]
@@ -186,10 +270,10 @@ class RawInflater:
                 want = out_lens[i]
                 r = rec
                 copied = 0
+                chunk = bytearray()
                 while True:
                     start = r.sym_bit_offset >> 3
-                    out += raw[start:start + r.out_len]
-                    window += raw[start:start + r.out_len]
+                    chunk += raw[start:start + r.out_len]
                     copied += r.out_len
                     if copied >= want:
                         break
@@ -200,7 +284,13 @@ class RawInflater:
                     if r.btype != 0:
                         raise errors.BadBlockError(
                             "index expects stored continuation")
-                del window[:-HALO]
+                chunk = bytes(chunk)
+                plan.append(("stored", chunk))
+                cap = _bucket(len(chunk), 1 << 12)
+                cb = np.zeros(cap, np.uint8)
+                cb[:len(chunk)] = np.frombuffer(chunk, np.uint8)
+                win = roll_window(win, jnp.asarray(cb),
+                                  jnp.int32(len(chunk)), cap)
                 i += 1
                 continue
             # gather a run of huffman blocks within batch limits
@@ -247,18 +337,18 @@ class RawInflater:
                 ll[t, :len(lla)] = lla
                 dla = recs[k].dist_lengths
                 dl[t, :len(dla)] = dla
-            halo = np.zeros(HALO, np.uint8)
-            if window:
-                h = bytes(window[-HALO:])
-                halo[HALO - len(h):] = np.frombuffer(h, np.uint8)
-
             anchors = index.get("anchors")
             have_anchors = anchors is not None and all(
                 anchors[k] is not None for k in run)
+            dense_args = (words, jnp.int32(bit_local), jnp.asarray(starts),
+                          jnp.asarray(syms), jnp.asarray(ends),
+                          jnp.asarray(ll), jnp.asarray(dl))
             if have_anchors:
                 lane_tb, lane_s, lane_e = [], [], []
+                lane_block_start = []
                 wbase = word_lo << 5
                 for t, k in enumerate(run):
+                    lane_block_start.append(len(lane_s))
                     a = [recs[k].sym_bit_offset] + [int(x) for x in anchors[k]]
                     e = a[1:] + [1 << 30]
                     lane_tb += [t * dk.TABLE_SIZE] * len(a)
@@ -269,35 +359,57 @@ class RawInflater:
                 tb_a = np.asarray(lane_tb + [0] * padn, np.int32)
                 st_a = np.asarray(lane_s + [-1] * padn, np.int32)
                 en_a = np.asarray(lane_e + [0] * padn, np.int32)
+                # pad blocks own no lanes; their slot range starts at the
+                # first pad slot (o_len 0 there)
+                lane_block_start += [len(lane_s)] * (nb - len(run))
+                first_slots = jnp.asarray(np.asarray(
+                    [ls * dk.ANCHOR_STRIDE for ls in lane_block_start]
+                    + [lanes * dk.ANCHOR_STRIDE], np.int32))
+                use_pallas = (jax.default_backend() != "cpu"
+                              and max(out_lens[k] for k in run) <= (1 << 16))
                 o, produced, err = decode_batch_anchored(
                     words, jnp.asarray(tb_a), jnp.asarray(st_a),
                     jnp.asarray(en_a), jnp.asarray(ll), jnp.asarray(dl),
-                    jnp.asarray(halo), lanes, nb, oc)
-                produced = int(produced)
+                    win, lanes, nb, oc, use_pallas, first_slots)
             else:
                 o, produced, err = decode_batch(
-                    words, jnp.int32(bit_local), jnp.asarray(starts),
-                    jnp.asarray(syms), jnp.asarray(ends), jnp.asarray(ll),
-                    jnp.asarray(dl), jnp.asarray(halo), nbits, nb, nseg, oc)
-                produced = int(produced)
-            if int(err) or produced != total_out:
-                # anchored mode only errs on corruption; speculation can also
-                # fail to converge on low-entropy blocks (sparse tables break
-                # the self-sync walks) — the dense pointer-doubling orbit is
-                # the exact fallback either way
-                o, produced, err = decode_batch(
-                    words, jnp.int32(bit_local), jnp.asarray(starts),
-                    jnp.asarray(syms), jnp.asarray(ends), jnp.asarray(ll),
-                    jnp.asarray(dl), jnp.asarray(halo), nbits, nb, nseg, oc,
-                    dense=True)
-                produced = int(produced)
-            if int(err) or produced != total_out:
-                raise errors.BadBlockError(
-                    f"device decode mismatch: produced={produced} "
-                    f"expected={total_out} err={int(err)}")
-            chunk = np.asarray(o)[:produced].tobytes()
-            out += chunk
-            window += chunk
-            del window[:-HALO]
+                    *dense_args, win, nbits, nb, nseg, oc)
+            plan.append(("dev", (o, produced, err, total_out, win,
+                                 dense_args, (nbits, nb, nseg, oc))))
+            win = roll_window(win, o, produced, oc)
             i = j
+
+        # Phase 2: read back, verify, assemble. A failed batch invalidates
+        # the device-chained window of every LATER batch (already dispatched),
+        # so from the first error onwards every batch is re-decoded densely
+        # with a host-corrected window (rare: corruption, or speculation
+        # failing to converge on low-entropy foreign-indexed blocks).
+        out = bytearray()
+        redo = False
+        for kind, p in plan:
+            if kind == "stored":
+                out += p
+                continue
+            o, produced, err, total_out, bwin, dense_args, shp = p
+            if not redo:
+                pe, ee = int(produced), int(err)
+            if redo or ee or pe != total_out:
+                nbits, nb, nseg, oc = shp
+                if redo:
+                    tail = (dictionary[-HALO:] + bytes(out))[-HALO:]
+                    halo = np.zeros(HALO, np.uint8)
+                    if tail:
+                        halo[HALO - len(tail):] = np.frombuffer(tail, np.uint8)
+                    hwin = jnp.asarray(halo)
+                else:
+                    hwin = bwin   # entry window of the FIRST failure is valid
+                o, produced, err = decode_batch(
+                    *dense_args, hwin, nbits, nb, nseg, oc, dense=True)
+                pe, ee = int(produced), int(err)
+                redo = True
+            if ee or pe != total_out:
+                raise errors.BadBlockError(
+                    f"device decode mismatch: produced={pe} "
+                    f"expected={total_out} err={ee}")
+            out += np.asarray(o)[:pe].tobytes()
         return bytes(out)

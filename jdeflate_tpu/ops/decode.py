@@ -448,20 +448,24 @@ def lz_resolve(val: jnp.ndarray, src: jnp.ndarray, resolved: jnp.ndarray,
     val: (N,) i32 output bytes (literal positions already set).
     src: (N,) i32 copy-source index per position (self for resolved).
     resolved: (N,) bool. mask: (N,) bool — positions that must resolve.
+
+    val and resolved travel packed in one word (byte | done<<8): each round
+    costs two N-gathers instead of three (gathers are the decode whale at
+    ~133M elem/s on v5e).
     """
+    pv = (val & 0xFF) | (resolved.astype(jnp.int32) << 8)
+
     def cond(c):
-        _, _, r, i = c
-        return (i < max_rounds) & jnp.any(~r & mask)
+        pv, _, i = c
+        return (i < max_rounds) & jnp.any((pv < 256) & mask)
 
     def body(c):
-        val, src, resolved, i = c
-        sv = val[src]
-        sr = resolved[src]
-        val = jnp.where(resolved, val, sv)
-        nsrc = src[src]
-        src = jnp.where(resolved, src, nsrc)
-        return (val, src, resolved | sr, i + 1)
+        pv, src, i = c
+        done = pv >= 256
+        s = pv[src]
+        pv = jnp.where(done, pv, s)
+        src = jnp.where(done, src, src[src])
+        return (pv, src, i + 1)
 
-    val, src, resolved, _ = jax.lax.while_loop(
-        cond, body, (val, src, resolved, jnp.int32(0)))
-    return val, resolved
+    pv, src, _ = jax.lax.while_loop(cond, body, (pv, src, jnp.int32(0)))
+    return pv & 0xFF, pv >= 256
