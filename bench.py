@@ -92,9 +92,9 @@ def main():
     dec = RawInflater(max_batch_bits=1 << 24, max_batch_blocks=64,
                       max_batch_out=1 << 22)
 
-    # warmup (compile)
-    warm = data[: bl * batch]
-    raw_w, idx_w = enc.compress(warm)
+    # warmup (compile): one full untimed pass — the run's own bucket shapes
+    # are what get compiled, so the timed pass below is steady-state
+    raw_w, idx_w = enc.compress(data)
     dec.decompress(raw_w, index=idx_w)
 
     t0 = time.perf_counter()

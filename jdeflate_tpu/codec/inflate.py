@@ -375,41 +375,39 @@ class RawInflater:
                 o, produced, err = decode_batch(
                     *dense_args, win, nbits, nb, nseg, oc)
             plan.append(("dev", (o, produced, err, total_out, win,
-                                 dense_args, (nbits, nb, nseg, oc))))
+                                 dense_args, (nbits, nb, nseg, oc), b0)))
             win = roll_window(win, o, produced, oc)
             i = j
 
         # Phase 2: read back, verify, assemble. A failed batch invalidates
         # the device-chained window of every LATER batch (already dispatched),
-        # so from the first error onwards every batch is re-decoded densely
-        # with a host-corrected window (rare: corruption, or speculation
-        # failing to converge on low-entropy foreign-indexed blocks).
+        # so at the FIRST failure the remainder of the stream is re-decoded
+        # sequentially (native C++ inflator, Python referee fallback) from a
+        # host-reconstructed window — bounded work, no giant dense-decode
+        # program (rare: corruption, or speculation failing to converge on
+        # foreign-indexed streams).
         out = bytearray()
-        redo = False
         for kind, p in plan:
             if kind == "stored":
                 out += p
                 continue
-            o, produced, err, total_out, bwin, dense_args, shp = p
-            if not redo:
-                pe, ee = int(produced), int(err)
-            if redo or ee or pe != total_out:
-                nbits, nb, nseg, oc = shp
-                if redo:
-                    tail = (dictionary[-HALO:] + bytes(out))[-HALO:]
-                    halo = np.zeros(HALO, np.uint8)
-                    if tail:
-                        halo[HALO - len(tail):] = np.frombuffer(tail, np.uint8)
-                    hwin = jnp.asarray(halo)
-                else:
-                    hwin = bwin   # entry window of the FIRST failure is valid
-                o, produced, err = decode_batch(
-                    *dense_args, hwin, nbits, nb, nseg, oc, dense=True)
-                pe, ee = int(produced), int(err)
-                redo = True
+            o, produced, err, total_out, bwin, dense_args, shp, b0 = p
+            pe, ee = int(produced), int(err)
             if ee or pe != total_out:
-                raise errors.BadBlockError(
-                    f"device decode mismatch: produced={pe} "
-                    f"expected={total_out} err={ee}")
+                window = (dictionary[-HALO:] + bytes(out))[-HALO:]
+                if native.available():
+                    rest, _, _ = native.inflate(
+                        raw, window, start_bit=b0,
+                        out_cap=max(n_out - len(out), 1 << 12))
+                    out += rest
+                else:
+                    # referee has no mid-stream entry: full re-decode
+                    full, _, _ = hi.inflate_raw(raw, dictionary)
+                    out = bytearray(full)
+                if len(out) != n_out:
+                    raise errors.BadBlockError(
+                        f"decode mismatch: produced={len(out)} "
+                        f"expected={n_out}")
+                return bytes(out)
             out += np.asarray(o)[:pe].tobytes()
         return bytes(out)
