@@ -18,7 +18,7 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-CORPUS_MB = int(os.environ.get("BENCH_CORPUS_MB", "32"))
+CORPUS_MB = int(os.environ.get("BENCH_CORPUS_MB", "8"))
 LEVEL = int(os.environ.get("BENCH_LEVEL", "6"))
 
 

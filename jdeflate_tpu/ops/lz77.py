@@ -205,6 +205,29 @@ def find_matches_batch(ext: jnp.ndarray, block_len: jnp.ndarray,
     plen = jnp.where((plen == 256) & (n256d == pdist) & (n256l >= 2),
                      258, plen)
 
+    # exact top-up for lengths the link rule left at a 16-byte boundary (the
+    # neighbor chose a different candidate): gather-compare rounds against
+    # the real bytes, early-exiting when no boundary survivors remain. This
+    # restores getmatchlength exactness (deflator.c:1977-2101) at a few
+    # masked gather rounds instead of per-probe 258-byte compares.
+    wflat = _words_le_flat(ext.reshape(-1), B, row)
+    qi = (jnp.arange(B, dtype=jnp.int32) * row)[:, None] \
+        + jnp.arange(nh, dtype=jnp.int32)[None, :]
+    cand_i = qi - pdist
+
+    def ext_cond(c):
+        s, l = c
+        return (s <= MAX_EXT_STEPS) & jnp.any(
+            (l > 0) & (l % 16 == 0) & (l >= 16 * s) & (l < 258))
+
+    def ext_body(c):
+        s, l = c
+        active = l == 16 * s
+        add = _cmp16(wflat, qi + 16 * s, cand_i + 16 * s)
+        return s + 1, jnp.where(active, l + add, l)
+
+    _, plen = jax.lax.while_loop(ext_cond, ext_body, (jnp.int32(1), plen))
+
     length = plen[:, halo:]
     dist = pdist[:, halo:]
     bpos = jnp.arange(bl, dtype=jnp.int32)[None, :]
