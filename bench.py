@@ -89,8 +89,10 @@ def main():
 
     bl, batch = 1 << 16, 16
     enc = RawDeflater(level=LEVEL, block_size=bl, batch=batch)
-    dec = RawInflater(max_batch_bits=1 << 24, max_batch_blocks=64,
-                      max_batch_out=1 << 22)
+    # decode is dispatch-bound (~165 ms/batch in the axon sync-dispatch
+    # regime): one big batch per 8 MB beats four small ones
+    dec = RawInflater(max_batch_bits=1 << 25, max_batch_blocks=128,
+                      max_batch_out=1 << 23)
 
     # warmup (compile): one full untimed pass — the run's own bucket shapes
     # are what get compiled, so the timed pass below is steady-state

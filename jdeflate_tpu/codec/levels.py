@@ -28,7 +28,7 @@ class LevelConfig:
 _CHAIN = {1: 2, 2: 8, 3: 16, 4: 32, 5: 128, 6: 48, 7: 128, 8: 320, 9: 512}
 _GOOD = {1: 8, 2: 8, 3: 8, 4: 8, 5: 8, 6: 16, 7: 32, 8: 64, 9: 192}
 _NICE = {1: 4, 2: 8, 3: 16, 4: 32, 5: 64, 6: 16, 7: 64, 8: 128, 9: 256}
-_PROBE_CAP = {1: 2, 2: 8, 3: 16, 4: 24, 5: 32, 6: 48, 7: 64, 8: 96, 9: 128}
+_PROBE_CAP = {1: 2, 2: 8, 3: 16, 4: 24, 5: 32, 6: 48, 7: 64, 8: 128, 9: 256}
 _RERANK = {1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0, 7: 1, 8: 1, 9: 2}
 
 

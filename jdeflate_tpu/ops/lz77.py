@@ -102,7 +102,7 @@ def _shift_right(a: jnp.ndarray, k: int, fill=0):
 
 def find_matches_batch(ext: jnp.ndarray, block_len: jnp.ndarray,
                        valid_from: jnp.ndarray, halo: int, bl: int, pad: int,
-                       k: int, rerank: int = 0):
+                       k: int, rerank: int = 0, exact_ext: bool = True):
     """Best match per position for a whole batch of blocks at once.
 
     ext: (B, halo + bl + pad) u8 rows (halo history + block + zero pad).
@@ -210,23 +210,52 @@ def find_matches_batch(ext: jnp.ndarray, block_len: jnp.ndarray,
     # the real bytes, early-exiting when no boundary survivors remain. This
     # restores getmatchlength exactness (deflator.c:1977-2101) at a few
     # masked gather rounds instead of per-probe 258-byte compares.
+    if not exact_ext:
+        length = plen[:, halo:]
+        dist = pdist[:, halo:]
+        bpos = jnp.arange(bl, dtype=jnp.int32)[None, :]
+        length = jnp.minimum(jnp.minimum(length, C.MAX_MATCH),
+                             block_len[:, None] - bpos)
+        length = jnp.where(length >= C.MIN_MATCH, length, 0)
+        dist = jnp.where(length > 0, dist, 0)
+        return length, dist
+    # A full-domain gather-compare would cost 8 gathers x (B*nh) per round;
+    # instead COMPACT the stuck positions (typically a few %) into a fixed
+    # small buffer, extend only those from their current length, and scatter
+    # the exact lengths back (overflowed slots just keep the link-rule
+    # length — a bounded ratio cost, never a correctness one).
     wflat = _words_le_flat(ext.reshape(-1), B, row)
-    qi = (jnp.arange(B, dtype=jnp.int32) * row)[:, None] \
-        + jnp.arange(nh, dtype=jnp.int32)[None, :]
-    cand_i = qi - pdist
+    N = B * nh
+    M = max(N // 4, 1024)
+    pl = plen.reshape(-1)
+    pd = pdist.reshape(-1)
+    stuck = (pl > 0) & (pl % 16 == 0) & (pl < 258)
+    rank = jnp.cumsum(stuck.astype(jnp.int32)) - stuck.astype(jnp.int32)
+    slot = jnp.where(stuck & (rank < M), rank, M)
+    fidx = jnp.arange(N, dtype=jnp.int32)
+    sidx = jnp.full(M + 1, -1, jnp.int32).at[slot].set(
+        fidx, mode="drop")[:M]
+    valid = sidx >= 0
+    si = jnp.maximum(sidx, 0)
+    qi_s = si + (si // nh) * pad          # flat (B, nh) index -> flat row index
+    cand_s = qi_s - pd[si]
+    l0 = jnp.where(valid, pl[si], 0)
 
     def ext_cond(c):
-        s, l = c
-        return (s <= MAX_EXT_STEPS) & jnp.any(
-            (l > 0) & (l % 16 == 0) & (l >= 16 * s) & (l < 258))
+        r, l = c
+        return (r < MAX_EXT_STEPS) & jnp.any(
+            (l > 0) & (l % 16 == 0) & (l < 258))
 
     def ext_body(c):
-        s, l = c
-        active = l == 16 * s
-        add = _cmp16(wflat, qi + 16 * s, cand_i + 16 * s)
-        return s + 1, jnp.where(active, l + add, l)
+        r, l = c
+        active = (l > 0) & (l % 16 == 0) & (l < 258)
+        add = _cmp16(wflat, qi_s + l, cand_s + l)
+        return r + 1, jnp.where(active, l + add, l)
 
-    _, plen = jax.lax.while_loop(ext_cond, ext_body, (jnp.int32(1), plen))
+    _, lext_ = jax.lax.while_loop(ext_cond, ext_body, (jnp.int32(0), l0))
+    pl = pl.at[jnp.where(valid, si, N)].set(
+        jnp.minimum(lext_, C.MAX_MATCH), mode="drop")
+    plen = pl.reshape(B, nh)
 
     length = plen[:, halo:]
     dist = pdist[:, halo:]
