@@ -4,12 +4,22 @@ Architecture (TPU-first; see SURVEY.md §7): the unit of work is a batch of
 fixed-size blocks with static shapes, not a resumable byte stream. Each batch
 runs: parallel hash + sorted-bucket candidate probes -> vectorized match
 extension -> local greedy/lazy decision -> pointer-doubling parse orbit ->
-per-block symbol frequencies -> batched Huffman build -> precode RLE ->
-per-item (value, nbits) -> one global exclusive scan + scatter-add bitstream
-pack. Blocks inside a batch are bit-contiguous, exactly like the reference's
-multi-block streams; batch seams are joined with byte-aligned sync-flush
-blocks (the reference's DEFLT_FLUSH framing, src/deflator.c:609-654), which
-double as checkpoint/shard seams (SURVEY.md §5).
+per-chunk symbol frequencies -> entropy-guided adaptive block splitting ->
+batched Huffman build -> precode RLE -> per-item (value, nbits) -> one global
+exclusive scan + scatter-add bitstream pack. Blocks inside a batch are
+bit-contiguous, exactly like the reference's multi-block streams; batch seams
+are joined with byte-aligned sync-flush blocks (the reference's DEFLT_FLUSH
+framing, src/deflator.c:609-654), which double as checkpoint/shard seams
+(SURVEY.md §5).
+
+Adaptive splitting: the reference splits blocks when a 32-bucket observation
+histogram drifts (shouldsplit, src/deflator.c:2556-2596) — an online decision
+in a sequential parser. The batch pipeline sees all frequencies at once, so it
+does better: each 64 KiB block is cut into 8 KiB chunks, per-chunk symbol
+histograms are prefix-summed, and an exact-entropy dynamic program picks the
+cheapest contiguous partition into sub-blocks (entropy of merged histograms +
+estimated tree-header cost per group). Every sub-block gets its own Huffman
+trees, emitted back-to-back like the reference's split blocks.
 
 Reference parity notes: block-type decision static-vs-dynamic by exact cost
 (flushblock, src/deflator.c:1724-1805); dynamic header layout HLIT/HDIST/HCLEN
@@ -36,9 +46,24 @@ HDR_ITEMS = 2 + 19 + RLE_SLOTS
 _SENT = np.int32(19)          # run-breaking sentinel code length (np, not jnp:
 # eager device constants captured in traces force a d2h at lowering)
 
+CHUNK = 8192                  # splitter granularity (bytes of input)
+# estimated dynamic-header cost used by the split DP: constant part
+# (3 + 14 + precode lengths) + per-distinct-symbol RLE cost in bits
+_SPLIT_HDR_C0 = np.float32(120.0)
+_SPLIT_HDR_C1 = np.float32(5.5)
+
 # Precode RLE extra-bit counts per symbol (16 -> 2, 17 -> 3, 18 -> 7).
 _P_EXTRA = np.zeros(19, np.int32)
 _P_EXTRA[16:19] = (2, 3, 7)
+
+
+def _nch(bl: int) -> int:
+    """Chunks per block (static). Blocks smaller than 2 chunks never split."""
+    return max(bl // CHUNK, 1)
+
+
+def anchors_per_chunk(bl: int) -> int:
+    return bl // _nch(bl) // 64 + 4
 
 
 def _rle_runs(comb: jnp.ndarray) -> jnp.ndarray:
@@ -102,10 +127,11 @@ def _rle_emit(comb: jnp.ndarray):
     return sym, extra, emit
 
 
-def _block_entropy(lfreq, dfreq, block_len, cfg: levels_mod.LevelConfig):
-    """Per-block entropy stage (vmapped; all arrays are tiny): dynamic trees,
-    precode RLE, header items, exact static-vs-dynamic cost decision.
+def _block_entropy(lfreq, dfreq, live, cfg: levels_mod.LevelConfig):
+    """Per-sub-block entropy stage (vmapped; all arrays are tiny): dynamic
+    trees, precode RLE, header items, exact static-vs-dynamic cost decision.
 
+    live: scalar bool — dead groups emit nothing (all nbits zero).
     Returns (hdr_lo, hdr_nb (HDR_ITEMS,), el, er (286,), edl, edr (30,),
     eob_lo, eob_nb) — emission tables already select dynamic vs fixed codes.
     """
@@ -153,7 +179,7 @@ def _block_entropy(lfreq, dfreq, block_len, cfg: levels_mod.LevelConfig):
     stat_cost = jnp.sum(lfreq * fll) + jnp.sum(dfreq * 5) + extra_cost
     use_dyn = dyn_cost < stat_cost
 
-    # emission tables (per-block select dynamic vs fixed)
+    # emission tables (per-group select dynamic vs fixed)
     flr = jnp.asarray(C.FIXED_LITLEN_CODES_REV)[:C.NUM_LITLEN_USED]
     fdr = jnp.asarray(C.FIXED_DIST_CODES_REV)[:C.NUM_DIST_USED]
     fdl = jnp.asarray(C.FIXED_DIST_LENGTHS)[:C.NUM_DIST_USED]
@@ -165,7 +191,6 @@ def _block_entropy(lfreq, dfreq, block_len, cfg: levels_mod.LevelConfig):
     # ---- header items ----
     hdr_lo = jnp.zeros(HDR_ITEMS, jnp.uint32)
     hdr_nb = jnp.zeros(HDR_ITEMS, jnp.int32)
-    live = block_len > 0
     btype = jnp.where(use_dyn, 2, 1).astype(jnp.uint32)
     hdr_lo = hdr_lo.at[0].set(btype << 1)        # BFINAL or'd in at batch level
     hdr_nb = hdr_nb.at[0].set(jnp.where(live, 3, 0))
@@ -190,12 +215,55 @@ def _block_entropy(lfreq, dfreq, block_len, cfg: levels_mod.LevelConfig):
     return hdr_lo, hdr_nb, el, er, edl, edr, eob_lo, eob_nb
 
 
+def _split_dp(Pl, Pd, nch: int):
+    """Optimal contiguous chunk partition for ONE block (vmapped over batch).
+
+    Pl: (nch+1, NL) i32 prefix histograms (chunk symbol freqs), Pd likewise
+    for the distance alphabet. Minimizes sum over groups of
+    entropy(merged hist) + estimated dynamic-header bits — the batch-parallel
+    replacement for the reference's online histogram-drift splitter
+    (shouldsplit, src/deflator.c:2556-2596). Returns (nch,) bool group-start
+    flags (flag[0] always True).
+    """
+    hl = Pl[None, :, :] - Pl[:, None, :]      # (nch+1, nch+1, NL); valid i<j
+    hd = Pd[None, :, :] - Pd[:, None, :]
+
+    def ent(h):
+        tot = jnp.sum(h, -1, keepdims=True).astype(jnp.float32)
+        hf = h.astype(jnp.float32)
+        return jnp.sum(
+            jnp.where(h > 0,
+                      hf * (jnp.log2(jnp.maximum(tot, 1.0))
+                            - jnp.log2(jnp.maximum(hf, 1.0))), 0.0), -1)
+
+    distinct = (jnp.sum((hl > 0).astype(jnp.int32), -1)
+                + jnp.sum((hd > 0).astype(jnp.int32), -1)).astype(jnp.float32)
+    cost = ent(hl) + ent(hd) + _SPLIT_HDR_C0 + _SPLIT_HDR_C1 * distinct
+
+    INF = np.float32(3e18)
+    best = jnp.full((nch + 1,), INF, jnp.float32).at[0].set(0.0)
+    arg = jnp.zeros((nch + 1,), jnp.int32)
+    iidx = jnp.arange(nch + 1, dtype=jnp.int32)
+    for j in range(1, nch + 1):                 # static unroll (nch <= 8)
+        cand = jnp.where(iidx < j, best + cost[:, j], INF)
+        arg = arg.at[j].set(jnp.argmin(cand).astype(jnp.int32))
+        best = best.at[j].set(jnp.min(cand))
+
+    start = jnp.zeros((nch,), jnp.bool_)
+    j = jnp.int32(nch)
+    for _ in range(nch):                        # backtrack, <= nch hops
+        start = jnp.where(j > 0, start.at[jnp.clip(arg[j], 0, nch - 1)].set(
+            True), start)
+        j = jnp.where(j > 0, arg[j], 0)
+    return start.at[0].set(True)
+
+
 def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
                       total_len: jnp.ndarray, dict_len: jnp.ndarray,
                       final_block: jnp.ndarray,
                       bl: int, batch: int, level: int, num_words: int):
     """Encode `batch` consecutive blocks of `data` into one bit-contiguous
-    DEFLATE fragment.
+    DEFLATE fragment (each block adaptively split into sub-blocks).
 
     data: (HALO + N_padded + PAD,) u8 — input with a HALO-byte history prefix
       (zeros or preset dictionary, cf. deflator_setdctnr deflator.c:2106-2167)
@@ -206,9 +274,20 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     final_block: scalar i32 — global index of the stream's last block (gets
       BFINAL, cf. endstream deflator.c:609-654).
 
-    Returns (words u32[num_words], total_bits, block_bits (batch,), ntok).
+    Returns (words u32[num_words], total_bits, block_bits (batch,), ntok,
+    start_flags (batch, nch), hdr_off (batch, nch), anchors
+    (batch, nch, ACH), use_stored (batch,)).
     """
     cfg = levels_mod.get_level(level)
+    nch = _nch(bl)
+    CH = bl // nch
+    CS = 1 + HDR_ITEMS + CH       # chunk stride: [eob slot, hdr, tokens]
+    nitems = nch * CS + 1
+    ACH = CH // 64 + 4
+    NL = C.NUM_LITLEN_USED
+    ND = C.NUM_DIST_USED
+    B = batch
+
     bidx = start_block + jnp.arange(batch, dtype=jnp.int32)
     starts = bidx * bl                    # offsets into the logical input
     block_len = jnp.clip(total_len - starts, 0, bl)
@@ -223,10 +302,8 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     )(starts)
 
     # ---- batch-flat token pipeline (see ops/lz77.py layout note) ----
-    B = batch
     length, dist = lz77.find_matches_batch(
-        ext, block_len, valid_from, HALO, bl, PAD, max(cfg.probes, 1),
-        cfg.rerank)
+        ext, block_len, valid_from, HALO, bl, PAD, max(cfg.probes, 1))
     take = lz77.parse_take(length, dist, block_len, cfg.lazy, cfg.good_length)
     # sequential-parse equivalent via the match-space walk (Pallas on TPU):
     # runs once per emitted match, not once per position
@@ -256,30 +333,75 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
 
     lsym = jnp.where(t_take, lsym_m, t_lit)
 
-    # frequencies (two flat scatter-adds across the whole batch)
+    # ---- per-chunk frequencies (two flat scatter-adds over the batch) ----
     vi = is_tok.astype(jnp.int32)
-    lb = (jnp.arange(B, dtype=jnp.int32) * C.NUM_LITLEN_USED)[:, None]
-    lfreq = jnp.zeros(B * C.NUM_LITLEN_USED, jnp.int32).at[
-        (lb + jnp.where(is_tok, lsym, 0)).reshape(-1)].add(
-        vi.reshape(-1)).reshape(B, C.NUM_LITLEN_USED)
-    lfreq = lfreq.at[:, C.EOB].add((block_len > 0).astype(jnp.int32))
+    pos = jnp.arange(bl, dtype=jnp.int32)[None, :]
+    chunk_of_pos = pos // CH                                     # (1, bl)
+    cidx = jnp.arange(B, dtype=jnp.int32)[:, None] * nch + chunk_of_pos
+    lfreq_c = jnp.zeros(B * nch * NL, jnp.int32).at[
+        (cidx * NL + jnp.where(is_tok, lsym, 0)).reshape(-1)].add(
+        vi.reshape(-1)).reshape(B, nch, NL)
     mt = (t_take & is_tok).astype(jnp.int32)
-    db = (jnp.arange(B, dtype=jnp.int32) * C.NUM_DIST_USED)[:, None]
-    dfreq = jnp.zeros(B * C.NUM_DIST_USED, jnp.int32).at[
-        (db + jnp.where(t_take, dsym, 0)).reshape(-1)].add(
-        mt.reshape(-1)).reshape(B, C.NUM_DIST_USED)
+    dfreq_c = jnp.zeros(B * nch * ND, jnp.int32).at[
+        (cidx * ND + jnp.where(t_take, dsym, 0)).reshape(-1)].add(
+        mt.reshape(-1)).reshape(B, nch, ND)
+
+    # ---- adaptive split (entropy DP over chunk histograms) ----
+    zl = jnp.zeros((B, 1, NL), jnp.int32)
+    zd = jnp.zeros((B, 1, ND), jnp.int32)
+    Pl = jnp.concatenate([zl, jnp.cumsum(lfreq_c, axis=1)], axis=1)
+    Pd = jnp.concatenate([zd, jnp.cumsum(dfreq_c, axis=1)], axis=1)
+    ci = jnp.arange(nch, dtype=jnp.int32)
+    if nch > 1 and cfg.level >= 1:
+        start_f = jax.vmap(lambda a, b: _split_dp(a, b, nch))(Pl, Pd)
+    else:
+        start_f = jnp.zeros((B, nch), jnp.bool_).at[:, 0].set(True)
+
+    # group-of-chunk, start-chunk-of-group, end-chunk (exclusive) per start
+    gs = jax.lax.cummax(jnp.where(start_f, ci[None, :], 0), axis=1)  # (B, nch)
+    srt = jnp.where(start_f, ci[None, :], nch)
+    arr = jnp.concatenate([srt[:, 1:], jnp.full((B, 1), nch, jnp.int32)], 1)
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(arr, 1), axis=1), 1)      # (B, nch)
+
+    # per-group freqs at start chunks: P[nxt] - P[c]
+    def gsel(P, idx):
+        return jnp.take_along_axis(P, idx[:, :, None], axis=1)
+    lfreq_g = gsel(Pl, nxt) - gsel(Pl, ci[None, :] * jnp.ones(
+        (B, 1), jnp.int32))
+    dfreq_g = gsel(Pd, nxt) - gsel(Pd, ci[None, :] * jnp.ones(
+        (B, 1), jnp.int32))
+    live_g = start_f & (ci[None, :] * CH < block_len[:, None])       # (B, nch)
+    lfreq_g = lfreq_g.at[:, :, C.EOB].add(live_g.astype(jnp.int32))
 
     hdr_lo, hdr_nb, el, er, edl, edr, eob_lo, eob_nb = jax.vmap(
-        lambda lf, df, n: _block_entropy(lf, df, n, cfg)
-    )(lfreq, dfreq, block_len)
-    hdr_lo = hdr_lo.at[:, 0].set(
-        hdr_lo[:, 0] | bfinal.astype(jnp.uint32))
+        lambda lf, df, lv: _block_entropy(lf, df, lv, cfg)
+    )(lfreq_g.reshape(B * nch, NL), dfreq_g.reshape(B * nch, ND),
+      live_g.reshape(B * nch))
+    hdr_lo = hdr_lo.reshape(B, nch, HDR_ITEMS)
+    hdr_nb = hdr_nb.reshape(B, nch, HDR_ITEMS)
+
+    # BFINAL on the last live sub-block of the stream's final block
+    lastc = jnp.max(jnp.where(live_g, ci[None, :], -1), axis=1)      # (B,)
+    fin_mask = (bfinal[:, None] > 0) & (ci[None, :] == lastc[:, None]) & live_g
+    hdr_lo = hdr_lo.at[:, :, 0].set(
+        hdr_lo[:, :, 0] | fin_mask.astype(jnp.uint32))
+
+    # broadcast each group's tables to its member chunks
+    def bcast(x, n):
+        return jnp.take_along_axis(x.reshape(B, nch, n), gs[:, :, None], 1)
+    el_a = bcast(el, NL)
+    er_a = bcast(er, NL)
+    edl_a = bcast(edl, ND)
+    edr_a = bcast(edr, ND)
+    eob_lo_a = jnp.take_along_axis(eob_lo.reshape(B, nch), gs, 1)
+    eob_nb_a = jnp.take_along_axis(eob_nb.reshape(B, nch), gs, 1)
+    live_a = jnp.take_along_axis(live_g, gs, 1)                      # (B, nch)
 
     # two packed code lookups per position: litlen (codes<<4|len) and dist
-    lpack = (er << 4) | el.astype(jnp.uint32)          # (B, 286)
-    dpack = (edr << 4) | edl.astype(jnp.uint32)        # (B, 30)
-    le = lpack.reshape(-1)[(lb + lsym).reshape(-1)].reshape(B, bl)
-    de = dpack.reshape(-1)[(db + dsym).reshape(-1)].reshape(B, bl)
+    lpack = (er_a << 4) | el_a.astype(jnp.uint32)          # (B, nch, 286)
+    dpack = (edr_a << 4) | edl_a.astype(jnp.uint32)        # (B, nch, 30)
+    le = lpack.reshape(-1)[(cidx * NL + lsym).reshape(-1)].reshape(B, bl)
+    de = dpack.reshape(-1)[(cidx * ND + dsym).reshape(-1)].reshape(B, bl)
     lcode = le >> 4
     llen = (le & 15).astype(jnp.int32)
     dcode = de >> 4
@@ -296,17 +418,34 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     tv_hi = jnp.where(t_take, m_hi, 0)
     tv_n = jnp.where(is_tok, jnp.where(t_take, m_n, llen), 0)
 
-    nitems = HDR_ITEMS + bl + 1
-    lo = jnp.zeros((B, nitems), jnp.uint32)
-    hi = jnp.zeros((B, nitems), jnp.uint32)
-    nb = jnp.zeros((B, nitems), jnp.int32)
-    lo = lo.at[:, :HDR_ITEMS].set(hdr_lo)
-    nb = nb.at[:, :HDR_ITEMS].set(hdr_nb)
-    lo = lo.at[:, HDR_ITEMS:HDR_ITEMS + bl].set(jnp.where(tv_n > 0, tv_lo, 0))
-    hi = hi.at[:, HDR_ITEMS:HDR_ITEMS + bl].set(jnp.where(tv_n > 0, tv_hi, 0))
-    nb = nb.at[:, HDR_ITEMS:HDR_ITEMS + bl].set(tv_n)
-    lo = lo.at[:, -1].set(eob_lo)
-    nb = nb.at[:, -1].set(eob_nb)
+    # ---- item assembly: (B, nch, CS) = [eob slot | header | CH tokens] ----
+    ch_lo = jnp.zeros((B, nch, CS), jnp.uint32)
+    ch_hi = jnp.zeros((B, nch, CS), jnp.uint32)
+    ch_nb = jnp.zeros((B, nch, CS), jnp.int32)
+    # eob slot c: previous group's EOB, emitted where a new group starts
+    prev_eob_lo = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.uint32), eob_lo_a[:, :-1]], 1)
+    prev_eob_nb = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), eob_nb_a[:, :-1]], 1)
+    prev_live = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.bool_), live_a[:, :-1]], 1)
+    eob_emit = start_f & prev_live & (ci[None, :] > 0)
+    ch_lo = ch_lo.at[:, :, 0].set(jnp.where(eob_emit, prev_eob_lo, 0))
+    ch_nb = ch_nb.at[:, :, 0].set(jnp.where(eob_emit, prev_eob_nb, 0))
+    ch_lo = ch_lo.at[:, :, 1:1 + HDR_ITEMS].set(hdr_lo)
+    ch_nb = ch_nb.at[:, :, 1:1 + HDR_ITEMS].set(hdr_nb)
+    ch_lo = ch_lo.at[:, :, 1 + HDR_ITEMS:].set(
+        jnp.where(tv_n > 0, tv_lo, 0).reshape(B, nch, CH))
+    ch_hi = ch_hi.at[:, :, 1 + HDR_ITEMS:].set(
+        jnp.where(tv_n > 0, tv_hi, 0).reshape(B, nch, CH))
+    ch_nb = ch_nb.at[:, :, 1 + HDR_ITEMS:].set(tv_n.reshape(B, nch, CH))
+    # final slot: last group's EOB
+    fin_lo = jnp.where(live_a[:, -1], eob_lo_a[:, -1], 0)
+    fin_nb = jnp.where(live_a[:, -1], eob_nb_a[:, -1], 0)
+    lo = jnp.concatenate([ch_lo.reshape(B, nch * CS), fin_lo[:, None]], 1)
+    hi = jnp.concatenate([ch_hi.reshape(B, nch * CS),
+                          jnp.zeros((B, 1), jnp.uint32)], 1)
+    nb = jnp.concatenate([ch_nb.reshape(B, nch * CS), fin_nb[:, None]], 1)
     ntok = jnp.sum(vi)
 
     # ---- stored-block fallback (compress0 semantics, deflator.c:796-926) ----
@@ -334,69 +473,91 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     if cfg.level == 0:
         use_stored = jnp.where(block_len > 0, True, False)
 
-    # stored item arrays, then per-block select
+    # stored item arrays in the same layout, then per-block select
     lennlen1 = (len1 | ((len1 ^ 0xFFFF) << 16)).astype(jnp.uint32)
     lennlen2 = (len2 | ((len2 ^ 0xFFFF) << 16)).astype(jnp.uint32)
     has2 = len2 > 0
-    s_lo = jnp.zeros_like(lo)
-    s_hi = jnp.zeros_like(hi)
-    s_nb = jnp.zeros_like(nb)
+    s_lo = jnp.zeros((B, nch, CS), jnp.uint32)
+    s_hi = jnp.zeros((B, nch, CS), jnp.uint32)
+    s_nb = jnp.zeros((B, nch, CS), jnp.int32)
     hdr_v = jnp.where(has2, 0, bfinal).astype(jnp.uint32)
-    s_lo = s_lo.at[:, 0].set(hdr_v)
-    s_nb = s_nb.at[:, 0].set(jnp.where(block_len > 0, 3, 0))
+    s_lo = s_lo.at[:, 0, 1].set(hdr_v)
+    s_nb = s_nb.at[:, 0, 1].set(jnp.where(block_len > 0, 3, 0))
     p_lo, p_hi, p_n = bitpack.append_bits(
         jnp.zeros_like(lennlen1), jnp.zeros_like(lennlen1),
         pad_bits.astype(jnp.int32), lennlen1, jnp.int32(32))
-    s_lo = s_lo.at[:, 1].set(p_lo)
-    s_hi = s_hi.at[:, 1].set(p_hi)
-    s_nb = s_nb.at[:, 1].set(jnp.where(block_len > 0, p_n, 0))
-    # byte slots: j<len1 -> byte j; j==len1 (if split) -> hdr2+LEN2 item;
-    # len1<j<=len -> byte j-1
-    jidx = jnp.arange(bl + 1, dtype=jnp.int32)[None, :]          # (1, bl+1)
-    blk_bytes = ext[:, HALO:HALO + bl].astype(jnp.uint32)
-    byte_lo = jnp.concatenate([blk_bytes, jnp.zeros((batch, 1), jnp.uint32)], 1)
-    shift_lo = jnp.concatenate(
-        [jnp.zeros((batch, 1), jnp.uint32), blk_bytes], 1)       # byte j-1
-    is_b1 = jidx < len1[:, None]
-    is_h2 = has2[:, None] & (jidx == len1[:, None])
-    is_b2 = has2[:, None] & (jidx > len1[:, None]) & (jidx <= block_len[:, None])
+    s_lo = s_lo.at[:, 0, 2].set(p_lo)
+    s_hi = s_hi.at[:, 0, 2].set(p_hi)
+    s_nb = s_nb.at[:, 0, 2].set(jnp.where(block_len > 0, p_n, 0))
+    # second stored header at the 32 KiB boundary chunk's eob slot
     h2_v = (bfinal.astype(jnp.uint32) | (lennlen2 << 8))
     h2_hi = (lennlen2 >> 24)
-    tok_lo = jnp.where(is_b1, byte_lo,
-              jnp.where(is_h2, h2_v[:, None],
-               jnp.where(is_b2, shift_lo, 0))).astype(jnp.uint32)
-    tok_hi = jnp.where(is_h2, h2_hi[:, None], 0).astype(jnp.uint32)
-    tok_nb = jnp.where(is_b1 | is_b2, 8, jnp.where(is_h2, 40, 0))
-    s_lo = s_lo.at[:, HDR_ITEMS:].set(tok_lo)
-    s_hi = s_hi.at[:, HDR_ITEMS:].set(tok_hi)
-    s_nb = s_nb.at[:, HDR_ITEMS:].set(tok_nb)
+    if bl > split:
+        c2 = split // CH
+        s_lo = s_lo.at[:, c2, 0].set(h2_v)
+        s_hi = s_hi.at[:, c2, 0].set(h2_hi)
+        s_nb = s_nb.at[:, c2, 0].set(jnp.where(has2, 40, 0))
+    blk_bytes = ext[:, HALO:HALO + bl].astype(jnp.uint32)
+    jpos = pos                                    # (1, bl) global byte index
+    s_lo = s_lo.at[:, :, 1 + HDR_ITEMS:].set(blk_bytes.reshape(B, nch, CH))
+    s_nb = s_nb.at[:, :, 1 + HDR_ITEMS:].set(
+        jnp.where(jpos < block_len[:, None], 8, 0).reshape(B, nch, CH))
+    s_lo_f = jnp.concatenate([s_lo.reshape(B, nch * CS),
+                              jnp.zeros((B, 1), jnp.uint32)], 1)
+    s_hi_f = jnp.concatenate([s_hi.reshape(B, nch * CS),
+                              jnp.zeros((B, 1), jnp.uint32)], 1)
+    s_nb_f = jnp.concatenate([s_nb.reshape(B, nch * CS),
+                              jnp.zeros((B, 1), jnp.int32)], 1)
 
     sel = use_stored[:, None]
-    lo = jnp.where(sel, s_lo, lo)
-    hi = jnp.where(sel, s_hi, hi)
-    nb = jnp.where(sel, s_nb, nb)
+    lo = jnp.where(sel, s_lo_f, lo)
+    hi = jnp.where(sel, s_hi_f, hi)
+    nb = jnp.where(sel, s_nb_f, nb)
 
     words, offs, total = bitpack.pack(
         lo.reshape(-1), hi.reshape(-1), nb.reshape(-1), num_words)
     per_block_bits = jnp.sum(nb, axis=1)
+    offs2 = offs.reshape(B, nitems)
 
-    # symbol anchors for exact parallel decode: the pack scan knows every
-    # item's bit offset, so record every 64th symbol's position per block
-    # (~0.1% index overhead; decode then needs no speculation at all)
-    offs2 = offs.reshape(B, nitems)[:, HDR_ITEMS:]
-    sym_nb = nb[:, HDR_ITEMS:]
-    sym_mask = sym_nb > 0
-    ordinal = jnp.cumsum(sym_mask.astype(jnp.int32), axis=1)
-    sel = sym_mask & (ordinal % 64 == 1) & (ordinal > 1)
-    amax = (nitems - HDR_ITEMS) // 64 + 2
-    aslot = (ordinal - 1) // 64 - 1
-    ab = (jnp.arange(B, dtype=jnp.int32) * amax)[:, None]
-    anchors = jnp.full(B * amax, -1, jnp.int32).at[
-        jnp.where(sel, ab + aslot, B * amax)].set(
-        offs2, mode="drop").reshape(B, amax)
-    nsyms = ordinal[:, -1]
-    return (words, total, per_block_bits, jnp.sum(ntok), anchors, nsyms,
-            use_stored)
+    # per-chunk header bit offsets (index entries for parallel decode)
+    hdr_idx = (ci * CS + 1)[None, :] * jnp.ones((B, 1), jnp.int32)
+    hdr_off = jnp.take_along_axis(offs2, hdr_idx, 1)                 # (B, nch)
+
+    # ---- symbol anchors for exact parallel decode ----
+    # every 64th symbol's bit position WITHIN ITS GROUP; scattered into
+    # per-chunk slots (host concatenates a group's chunk lists in order).
+    # Slot kinds are static: token/eob/final slots are symbols, headers not.
+    kind = np.zeros(nitems, np.int32)             # 0 hdr, 1 token, 2 eob/final
+    sc_np = np.zeros(nitems, np.int32)            # scatter chunk per item
+    for c in range(nch):
+        base = c * CS
+        kind[base] = 2
+        sc_np[base] = max(c - 1, 0)
+        kind[base + 1 + HDR_ITEMS: base + CS] = 1
+        sc_np[base + 1 + HDR_ITEMS: base + CS] = c
+    kind[nitems - 1] = 2
+    sc_np[nitems - 1] = nch - 1
+    tokbase_np = np.asarray([c * CS + HDR_ITEMS for c in range(nch)], np.int32)
+
+    sym_mask = (nb > 0) & (kind[None, :] > 0)
+    cum = jnp.cumsum(sym_mask.astype(jnp.int32), axis=1)             # (B, nitems)
+    gbase_idx = (gs * CS + HDR_ITEMS)                                # (B, nch)
+    base_chunk = jnp.take_along_axis(cum, gbase_idx, 1)              # (B, nch)
+    bpi = base_chunk[:, sc_np]                                       # (B, nitems)
+    o = cum - bpi
+    anchored = sym_mask & (o % 64 == 1) & (o > 1)
+    acum = jnp.cumsum(anchored.astype(jnp.int32), axis=1)
+    acb = acum[:, tokbase_np]                                        # (B, nch)
+    ai = (acum - 1) - acb[:, sc_np]
+    bb = (jnp.arange(B, dtype=jnp.int32) * nch)[:, None]
+    tgt = jnp.where(anchored & (ai >= 0) & (ai < ACH),
+                    (bb + sc_np[None, :]) * ACH + ai, B * nch * ACH)
+    anchors = jnp.full(B * nch * ACH, -1, jnp.int32).at[
+        tgt.reshape(-1)].max(offs2.reshape(-1), mode="drop").reshape(
+        B, nch, ACH)
+
+    return (words, total, per_block_bits, jnp.sum(ntok), start_f, hdr_off,
+            anchors, use_stored)
 
 
 encode_batch = jax.jit(
@@ -413,17 +574,20 @@ def encode_batch_packed(data, start_block, total_len, dict_len, final_block,
     its first device->host read, so drivers dispatch every batch first and
     read back once per batch afterwards; packing shrinks that to two reads
     (words + meta) per batch. meta = [total, ntok, per_block(batch),
-    nsyms(batch), stored(batch), anchors(batch*amax)].
+    stored(batch), start_flags(batch*nch), hdr_off(batch*nch),
+    anchors(batch*nch*ACH)].
     """
-    words, total, per_block, ntok, anchors, nsyms, stored = encode_batch_impl(
+    (words, total, per_block, ntok, start_f, hdr_off, anchors,
+     stored) = encode_batch_impl(
         data, start_block, total_len, dict_len, final_block,
         bl, batch, level, num_words)
     meta = jnp.concatenate([
         total[None] if total.ndim else jnp.reshape(total, (1,)),
         jnp.reshape(ntok, (1,)),
         per_block.astype(jnp.int32),
-        nsyms.astype(jnp.int32),
         stored.astype(jnp.int32),
+        start_f.reshape(-1).astype(jnp.int32),
+        hdr_off.reshape(-1).astype(jnp.int32),
         anchors.reshape(-1).astype(jnp.int32),
     ])
     return words, meta
@@ -431,8 +595,8 @@ def encode_batch_packed(data, start_block, total_len, dict_len, final_block,
 
 def words_bound(bl: int, batch: int) -> int:
     """Static output-word bound: <=11 bits/byte (len-3 far match worst case
-    under static codes) plus per-block header slack."""
-    return (batch * (11 * bl + 8192)) // 32 + 4
+    under static codes) plus per-sub-block header slack."""
+    return (batch * (11 * bl + 8192 + _nch(bl) * 4200)) // 32 + 4
 
 
 class RawDeflater:
@@ -441,7 +605,7 @@ class RawDeflater:
     Batches of blocks are encoded on device; batch seams are byte-aligned with
     sync-flush empty stored blocks (zlib Z_SYNC_FLUSH semantics, cf.
     deflator.h:135-141). Returns the byte stream plus a block index enabling
-    parallel decode.
+    parallel decode (one entry per emitted sub-block).
     """
 
     def __init__(self, level: int = 6, block_size: int = 1 << 16,
@@ -470,6 +634,9 @@ class RawDeflater:
         dict_bytes = (dictionary or b"")[-C.WINDOW_SIZE:]
         nblocks = (n + bl - 1) // bl
         arr = np.frombuffer(data, np.uint8)
+        nch = _nch(bl)
+        CH = bl // nch
+        ACH = CH // 64 + 4
 
         # Fixed-shape segments: one compiled program regardless of input size.
         # Each device call sees exactly (HALO + batch*bl + PAD) bytes; the
@@ -478,8 +645,8 @@ class RawDeflater:
         seg = batch * bl
         nw = words_bound(bl, batch)
         out = bytearray()
-        index_bits = []          # absolute bit offset of each block start
-        index_bytes = []         # output (uncompressed) offset of each block
+        index_bits = []          # absolute bit offset of each sub-block start
+        index_bytes = []         # output (uncompressed) offset of each sub-block
         sync_points = []
         final_idx = nblocks - 1 if final else -1
         anchors_out = []
@@ -508,26 +675,37 @@ class RawDeflater:
                 jnp.int32(final_idx - b0), bl, batch, self.level, nw)))
 
         # Phase 2: read back and assemble
-        amax = ((HDR_ITEMS + bl + 1) - HDR_ITEMS) // 64 + 2
         for b0, (words, meta) in handles:
             m = np.asarray(meta)
             total = int(m[0])
             pb = m[2:2 + batch]
-            stored_h = m[2 + 2 * batch:2 + 3 * batch]
-            anc = m[2 + 3 * batch:].reshape(batch, amax)
+            stored_h = m[2 + batch:2 + 2 * batch]
+            o = 2 + 2 * batch
+            startf = m[o:o + batch * nch].reshape(batch, nch)
+            o += batch * nch
+            hdr_off = m[o:o + batch * nch].reshape(batch, nch)
+            o += batch * nch
+            anc = m[o:].reshape(batch, nch, ACH)
             wb = np.asarray(words).view(np.uint8)  # little-endian words
             base_bits = len(out) * 8
-            acc = 0
             for i in range(min(batch, nblocks - b0)):
-                index_bits.append(base_bits + acc)
-                index_bytes.append((b0 + i) * bl)
+                blk_byte0 = (b0 + i) * bl
                 if stored_h[i]:
+                    index_bits.append(base_bits + int(hdr_off[i, 0]))
+                    index_bytes.append(blk_byte0)
                     anchors_out.append(None)
                 else:
-                    a = anc[i]
-                    anchors_out.append(
-                        (base_bits + a[a >= 0]).astype(np.int64))
-                acc += int(pb[i])
+                    cs_list = [c for c in range(nch)
+                               if startf[i, c] and blk_byte0 + c * CH < n]
+                    for t, c in enumerate(cs_list):
+                        ce = cs_list[t + 1] if t + 1 < len(cs_list) else nch
+                        index_bits.append(base_bits + int(hdr_off[i, c]))
+                        index_bytes.append(blk_byte0 + c * CH)
+                        alist = np.concatenate(
+                            [anc[i, cc][anc[i, cc] >= 0]
+                             for cc in range(c, ce)])
+                        anchors_out.append(
+                            (base_bits + alist).astype(np.int64))
             if b0 + batch >= nblocks and final:
                 out += wb[: (total + 7) // 8].tobytes()
             else:

@@ -57,7 +57,7 @@ def encode_sharded(data_sh, shard_lens, dict_lens, final_blocks,
     """
 
     def body(d, n, dl, fin):
-        words, total, per_block, _, _, _, _ = De.encode_batch_impl(
+        words, total, per_block, _, _, _, _, _ = De.encode_batch_impl(
             d[0], jnp.int32(0), n[0], dl[0], fin[0],
             bl, bpd, level, num_words)
         # (a) all-gather per-shard bit lengths over ICI
