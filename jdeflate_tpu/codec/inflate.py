@@ -243,11 +243,13 @@ class RawInflater:
         else:
             recs = [hi.parse_block_header(raw, b) for b in block_bits]
 
-        # fixed-size word window per batch call -> one compiled program per
-        # (nbits, nblocks, max_syms, out_cap) bucket, independent of stream size
+        # bucketed word window per batch call -> one compiled program per
+        # (nbits, nblocks, max_syms, out_cap) bucket, independent of stream
+        # size. The window is sized to the batch's actual bit span (bucketed),
+        # NOT the max: host->device runs ~40 MB/s over the axon tunnel, so
+        # uploading the 4 MB max window when 1 MB is live costs ~75 ms/batch.
         rawpad = raw + b"\x00" * ((-len(raw)) % 4 + 64)
         raw_np = np.frombuffer(rawpad, dtype=np.uint8)
-        wwords = (self.max_batch_bits >> 5) + 16
 
         # Phase 1 dispatches every batch with a device-chained window and NO
         # device->host reads (the first read drops the axon process into
@@ -311,6 +313,7 @@ class RawInflater:
             b0 = block_bits[i]
             word_lo = b0 >> 5
             bit_local = b0 - (word_lo << 5)
+            wwords = _bucket(((bits_end - b0) >> 5) + 16, 1 << 13)
             wbytes = raw_np[word_lo * 4: word_lo * 4 + wwords * 4]
             if len(wbytes) < wwords * 4:
                 wbytes = np.concatenate(
@@ -374,8 +377,9 @@ class RawInflater:
             else:
                 o, produced, err = decode_batch(
                     *dense_args, win, nbits, nb, nseg, oc)
-            plan.append(("dev", (o, produced, err, total_out, win,
-                                 dense_args, (nbits, nb, nseg, oc), b0)))
+            # keep only what phase 2 reads: unused device buffers (window,
+            # dense args, tables) would otherwise stay pinned until assembly
+            plan.append(("dev", (o, produced, err, total_out, b0)))
             win = roll_window(win, o, produced, oc)
             i = j
 
@@ -391,7 +395,7 @@ class RawInflater:
             if kind == "stored":
                 out += p
                 continue
-            o, produced, err, total_out, bwin, dense_args, shp, b0 = p
+            o, produced, err, total_out, b0 = p
             pe, ee = int(produced), int(err)
             if ee or pe != total_out:
                 window = (dictionary[-HALO:] + bytes(out))[-HALO:]
@@ -409,5 +413,10 @@ class RawInflater:
                         f"decode mismatch: produced={len(out)} "
                         f"expected={n_out}")
                 return bytes(out)
-            out += np.asarray(o)[:pe].tobytes()
+            # device->host runs ~40 MB/s over the tunnel: transfer only the
+            # produced prefix when the bucket cap is much larger
+            if pe * 2 < o.shape[0]:
+                out += np.asarray(o[:pe]).tobytes()
+            else:
+                out += np.asarray(o)[:pe].tobytes()
         return bytes(out)

@@ -157,6 +157,18 @@ def extract_bits(words: jnp.ndarray, p: jnp.ndarray, n) -> jnp.ndarray:
     return lo & ((jnp.uint32(1) << n.astype(jnp.uint32)) - 1)
 
 
+def _fld(lo: jnp.ndarray, hi: jnp.ndarray, o: jnp.ndarray, n) -> jnp.ndarray:
+    """n-bit LSB-first field at offset o (< 49) of a 64-bit window (lo, hi)."""
+    o = o.astype(jnp.uint32)
+    lo32 = jnp.where(o < 32,
+                     (lo >> jnp.minimum(o, 31))
+                     | jnp.where(o == 0, 0, hi << (jnp.uint32(32) - o)),
+                     hi >> jnp.minimum(o - 32, 31))
+    if isinstance(n, int):
+        return lo32 & jnp.uint32((1 << n) - 1)
+    return lo32 & ((jnp.uint32(1) << n.astype(jnp.uint32)) - 1)
+
+
 def f_eval(words: jnp.ndarray, ltab: jnp.ndarray, dtab: jnp.ndarray,
            tb: jnp.ndarray, p: jnp.ndarray):
     """Decode ONE symbol at arbitrary bit positions p (any shape).
@@ -165,8 +177,22 @@ def f_eval(words: jnp.ndarray, ltab: jnp.ndarray, dtab: jnp.ndarray,
     Returns (nxt_bits_abs, outlen, lit, dist, invalid) — the symbol-step
     function of the wavefront design, evaluated on demand (the dense
     per-bit array is never materialized; random access is scarce on TPU).
+
+    Gather budget is the whole cost on TPU (~130M random elems/s): one
+    3-word window read covers the worst-case 48 bits a symbol consumes
+    (15+5+15+13), so a step costs 5 gathers (3 words + 2 table entries)
+    instead of 8 with per-field word reads.
     """
-    e1 = ltab[tb + rev15(extract_bits(words, p, TABLE_BITS)).astype(jnp.int32)]
+    pw = (p >> 5).astype(jnp.int32)
+    s = (p & 31).astype(jnp.uint32)
+    w0 = words[pw]
+    w1 = words[pw + 1]
+    w2 = words[pw + 2]
+    ns = jnp.uint32(32) - s
+    lo = (w0 >> s) | jnp.where(s == 0, 0, w1 << ns)
+    hi = (w1 >> s) | jnp.where(s == 0, 0, w2 << ns)
+
+    e1 = ltab[tb + rev15(lo & jnp.uint32(TABLE_SIZE - 1)).astype(jnp.int32)]
     c1 = (e1 & 31).astype(jnp.int32)
     k1 = ((e1 >> 5) & 7).astype(jnp.int32)
     ex1 = ((e1 >> 8) & 15).astype(jnp.int32)
@@ -177,20 +203,19 @@ def f_eval(words: jnp.ndarray, ltab: jnp.ndarray, dtab: jnp.ndarray,
     is_len = k1 == KIND_CODE
     invalid = k1 == KIND_INVALID
 
-    p_ext = p + c1
-    lext = extract_bits(words, p_ext, ex1).astype(jnp.int32)
+    lext = _fld(lo, hi, c1, ex1).astype(jnp.int32)
     length = pay1 + lext
-    p2 = p_ext + ex1
-    e2 = dtab[tb + rev15(extract_bits(words, p2, TABLE_BITS)).astype(jnp.int32)]
+    o2 = c1 + ex1
+    e2 = dtab[tb + rev15(_fld(lo, hi, o2, TABLE_BITS)).astype(jnp.int32)]
     c2 = (e2 & 31).astype(jnp.int32)
     k2 = ((e2 >> 5) & 7).astype(jnp.int32)
     ex2 = ((e2 >> 8) & 15).astype(jnp.int32)
     pay2 = (e2 >> 16).astype(jnp.int32)
-    dext = extract_bits(words, p2 + c2, ex2).astype(jnp.int32)
+    dext = _fld(lo, hi, o2 + c2, ex2).astype(jnp.int32)
     dist = pay2 + dext
     invalid = invalid | (is_len & (k2 != KIND_CODE))
 
-    nxt = jnp.where(is_len, p2 + c2 + ex2, p + c1)
+    nxt = jnp.where(is_len, p + o2 + c2 + ex2, p + c1)
     outlen = jnp.where(is_lit, 1, jnp.where(is_len, length, 0))
     lit = jnp.where(is_lit, pay1, 0)
     dist = jnp.where(is_len, dist, 0)

@@ -22,12 +22,12 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
-# Tests validate correctness, not ratio; deep probe/rerank settings only slow
-# the CPU compiles down. Ratio/perf runs live in bench.py on real hardware.
+# Tests validate correctness, not ratio; deep probe settings only slow the
+# CPU compiles down. Ratio/perf runs live in bench.py on real hardware; the
+# real probe depths are exercised there and by the TPU-path pytest marker.
 from jdeflate_tpu.codec import levels as _levels
 
 _levels._PROBE_CAP.update({5: 8, 6: 8, 7: 8, 8: 8, 9: 8})
-_levels._RERANK.update({7: 1, 8: 1, 9: 1})
 
 
 @pytest.fixture(scope="session")
