@@ -75,6 +75,12 @@ def _assemble_output(o_len, o_lit, o_dist, halo, out_cap):
     return val[HALO:].astype(jnp.uint8), produced, err
 
 
+@functools.partial(jax.jit, static_argnames=("wwords",))
+def _slice_words(words_full: jnp.ndarray, word_lo, wwords: int):
+    """Bucketed device-side window slice of the once-uploaded stream."""
+    return jax.lax.dynamic_slice(words_full, (word_lo,), (wwords,))
+
+
 @functools.partial(jax.jit, static_argnames=("ncap",))
 def roll_window(win: jnp.ndarray, out: jnp.ndarray, produced, ncap: int):
     """New 32 KiB window = last HALO bytes of (win ++ out[:produced]).
@@ -154,7 +160,12 @@ def decode_batch_anchored(words, tb, starts, ends, ll, dl, halo,
         out, produced, aerr = _assemble_output(
             outlen.reshape(-1), lit.reshape(-1), dist.reshape(-1), halo,
             out_cap)
-    return out, produced, werr + aerr
+    # next 32 KiB window computed in the same program (saves a dispatch per
+    # batch: the axon sync-dispatch regime charges ~25 ms per device call)
+    cat = jnp.concatenate([halo, out[:out_cap]])
+    nwin = jax.lax.dynamic_slice(
+        cat, (jnp.clip(produced, 0, out_cap),), (HALO,))
+    return out, produced, werr + aerr, nwin
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -243,13 +254,14 @@ class RawInflater:
         else:
             recs = [hi.parse_block_header(raw, b) for b in block_bits]
 
-        # bucketed word window per batch call -> one compiled program per
-        # (nbits, nblocks, max_syms, out_cap) bucket, independent of stream
-        # size. The window is sized to the batch's actual bit span (bucketed),
-        # NOT the max: host->device runs ~40 MB/s over the axon tunnel, so
-        # uploading the 4 MB max window when 1 MB is live costs ~75 ms/batch.
-        rawpad = raw + b"\x00" * ((-len(raw)) % 4 + 64)
+        # The whole stream uploads ONCE (host->device over the axon tunnel is
+        # slow and per-transfer costs are high); each batch then slices its
+        # bucketed word window ON DEVICE. Window buckets keep one compiled
+        # program per (nbits, nblocks, max_syms, out_cap) combination.
+        W_pad = _bucket((len(raw) >> 2) + 18, 1 << 13)
+        rawpad = raw + b"\x00" * (W_pad * 4 - len(raw))
         raw_np = np.frombuffer(rawpad, dtype=np.uint8)
+        words_full = jnp.asarray(raw_np.view(np.uint32))
 
         # Phase 1 dispatches every batch with a device-chained window and NO
         # device->host reads (the first read drops the axon process into
@@ -311,14 +323,10 @@ class RawInflater:
                 j += 1
             run = list(range(i, j))
             b0 = block_bits[i]
-            word_lo = b0 >> 5
+            wwords = min(_bucket(((bits_end - b0) >> 5) + 16, 1 << 13), W_pad)
+            word_lo = min(b0 >> 5, W_pad - wwords)
             bit_local = b0 - (word_lo << 5)
-            wwords = _bucket(((bits_end - b0) >> 5) + 16, 1 << 13)
-            wbytes = raw_np[word_lo * 4: word_lo * 4 + wwords * 4]
-            if len(wbytes) < wwords * 4:
-                wbytes = np.concatenate(
-                    [wbytes, np.zeros(wwords * 4 - len(wbytes), np.uint8)])
-            words = jnp.asarray(wbytes.view(np.uint32))
+            words = _slice_words(words_full, jnp.int32(word_lo), wwords)
             nbits = _bucket(bits_end - b0, 1 << 12)
             nb = _bucket(len(run), 4)
             max_span = max(
@@ -370,17 +378,17 @@ class RawInflater:
                     + [lanes * dk.ANCHOR_STRIDE], np.int32))
                 use_pallas = (jax.default_backend() != "cpu"
                               and max(out_lens[k] for k in run) <= (1 << 16))
-                o, produced, err = decode_batch_anchored(
+                o, produced, err, win = decode_batch_anchored(
                     words, jnp.asarray(tb_a), jnp.asarray(st_a),
                     jnp.asarray(en_a), jnp.asarray(ll), jnp.asarray(dl),
                     win, lanes, nb, oc, use_pallas, first_slots)
             else:
                 o, produced, err = decode_batch(
                     *dense_args, win, nbits, nb, nseg, oc)
+                win = roll_window(win, o, produced, oc)
             # keep only what phase 2 reads: unused device buffers (window,
             # dense args, tables) would otherwise stay pinned until assembly
             plan.append(("dev", (o, produced, err, total_out, b0)))
-            win = roll_window(win, o, produced, oc)
             i = j
 
         # Phase 2: read back, verify, assemble. A failed batch invalidates

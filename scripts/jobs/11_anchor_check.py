@@ -49,9 +49,9 @@ log("compress steady", round(time.perf_counter() - t0, 3))
 orig = I.decode_batch_anchored
 stats = []
 def spy(*a, **k):
-    o, produced, err = orig(*a, **k)
+    o, produced, err, nwin = orig(*a, **k)
     stats.append((int(produced), int(err)))
-    return o, produced, err
+    return o, produced, err, nwin
 I.decode_batch_anchored = spy
 
 dec = I.RawInflater(max_batch_bits=1 << 24, max_batch_blocks=64,
