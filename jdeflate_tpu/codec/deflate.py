@@ -127,7 +127,8 @@ def _rle_emit(comb: jnp.ndarray):
     return sym, extra, emit
 
 
-def _block_entropy(lfreq, dfreq, live, cfg: levels_mod.LevelConfig):
+def _block_entropy(lfreq, dfreq, live, cfg: levels_mod.LevelConfig,
+                   fixed_codes: bool = False):
     """Per-sub-block entropy stage (vmapped; all arrays are tiny): dynamic
     trees, precode RLE, header items, exact static-vs-dynamic cost decision.
 
@@ -177,7 +178,8 @@ def _block_entropy(lfreq, dfreq, live, cfg: levels_mod.LevelConfig):
     dyn_cost = jnp.sum(lfreq * dl) + jnp.sum(dfreq * dd) + extra_cost + hdr_cost
     fll = jnp.asarray(C.FIXED_LITLEN_LENGTHS)[:C.NUM_LITLEN_USED]
     stat_cost = jnp.sum(lfreq * fll) + jnp.sum(dfreq * 5) + extra_cost
-    use_dyn = dyn_cost < stat_cost
+    # DEFLT_FIXEDCODES analog (deflator.h:74-76): force the static trees
+    use_dyn = (dyn_cost < stat_cost) & (not fixed_codes)
 
     # emission tables (per-group select dynamic vs fixed)
     flr = jnp.asarray(C.FIXED_LITLEN_CODES_REV)[:C.NUM_LITLEN_USED]
@@ -261,7 +263,8 @@ def _split_dp(Pl, Pd, nch: int):
 def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
                       total_len: jnp.ndarray, dict_len: jnp.ndarray,
                       final_block: jnp.ndarray,
-                      bl: int, batch: int, level: int, num_words: int):
+                      bl: int, batch: int, level: int, num_words: int,
+                      fixed_codes: bool = False):
     """Encode `batch` consecutive blocks of `data` into one bit-contiguous
     DEFLATE fragment (each block adaptively split into sub-blocks).
 
@@ -374,7 +377,7 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     lfreq_g = lfreq_g.at[:, :, C.EOB].add(live_g.astype(jnp.int32))
 
     hdr_lo, hdr_nb, el, er, edl, edr, eob_lo, eob_nb = jax.vmap(
-        lambda lf, df, lv: _block_entropy(lf, df, lv, cfg)
+        lambda lf, df, lv: _block_entropy(lf, df, lv, cfg, fixed_codes)
     )(lfreq_g.reshape(B * nch, NL), dfreq_g.reshape(B * nch, ND),
       live_g.reshape(B * nch))
     hdr_lo = hdr_lo.reshape(B, nch, HDR_ITEMS)
@@ -561,13 +564,15 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
 
 
 encode_batch = jax.jit(
-    encode_batch_impl, static_argnames=("bl", "batch", "level", "num_words"))
+    encode_batch_impl, static_argnames=("bl", "batch", "level", "num_words",
+                                        "fixed_codes"))
 
 
 @functools.partial(jax.jit, static_argnames=("bl", "batch", "level",
-                                             "num_words"))
+                                             "num_words", "fixed_codes"))
 def encode_batch_packed(data, start_block, total_len, dict_len, final_block,
-                        bl: int, batch: int, level: int, num_words: int):
+                        bl: int, batch: int, level: int, num_words: int,
+                        fixed_codes: bool = False):
     """encode_batch + all small outputs packed into ONE i32 array.
 
     The axon backend drops a process into synchronous per-dispatch mode after
@@ -580,7 +585,7 @@ def encode_batch_packed(data, start_block, total_len, dict_len, final_block,
     (words, total, per_block, ntok, start_f, hdr_off, anchors,
      stored) = encode_batch_impl(
         data, start_block, total_len, dict_len, final_block,
-        bl, batch, level, num_words)
+        bl, batch, level, num_words, fixed_codes)
     meta = jnp.concatenate([
         total[None] if total.ndim else jnp.reshape(total, (1,)),
         jnp.reshape(ntok, (1,)),
@@ -609,10 +614,11 @@ class RawDeflater:
     """
 
     def __init__(self, level: int = 6, block_size: int = 1 << 16,
-                 batch: int = 16):
+                 batch: int = 16, fixed_codes: bool = False):
         self.level = level
         self.bl = block_size
         self.batch = batch
+        self.fixed_codes = fixed_codes   # DEFLT_FIXEDCODES (deflator.h:74-76)
 
     def compress(self, data: bytes, dictionary: bytes | None = None,
                  final: bool = True):
@@ -672,7 +678,8 @@ class RawDeflater:
             dev = jnp.asarray(buf)
             handles.append((b0, encode_batch_packed(
                 dev, jnp.int32(0), jnp.int32(seg_n), jnp.int32(h),
-                jnp.int32(final_idx - b0), bl, batch, self.level, nw)))
+                jnp.int32(final_idx - b0), bl, batch, self.level, nw,
+                self.fixed_codes)))
 
         # Phase 2: read back and assemble
         for b0, (words, meta) in handles:

@@ -226,6 +226,30 @@ class RawInflater:
         self.max_batch_blocks = max_batch_blocks
         self.max_batch_out = max_batch_out
 
+    def build_index(self, raw: bytes, dictionary: bytes = b"") -> dict:
+        """Index any RFC 1951 stream for parallel decode (one sequential
+        native pass recording block offsets, code lengths implicitly, and
+        symbol anchors every 64 symbols — the same index contract the
+        encoder emits for free). The reference decodes foreign streams
+        sequentially (inflator.c:764-903); here a foreign stream indexes
+        once and then decodes through the exact anchored device path."""
+        from ..stream import host_inflate as hi
+        from ..stream import native
+
+        if native.available():
+            out, recs, endbit = native.inflate(raw, dictionary,
+                                               want_index=True)
+        else:
+            out, recs, endbit = hi.inflate_raw(raw, dictionary)
+        return {
+            "block_bits": [r.bit_offset for r in recs],
+            "block_bytes": [r.out_offset for r in recs],
+            "sync_points": [],
+            "n": len(out),
+            "anchors": [r.anchors if r.btype != 0 else None for r in recs],
+            "end_bit": endbit,
+        }
+
     def decompress(self, raw: bytes, index=None, dictionary: bytes = b"",
                    expected_size: int | None = None) -> bytes:
         from ..stream import host_inflate as hi

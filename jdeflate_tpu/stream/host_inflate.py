@@ -36,6 +36,7 @@ class BlockRecord:
                              # byte-aligned data start (0)
     litlen_lengths: np.ndarray | None = None
     dist_lengths: np.ndarray | None = None
+    anchors: np.ndarray | None = None    # bit positions of symbols 65,129,...
 
 
 class _BitReader:

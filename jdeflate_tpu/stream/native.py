@@ -33,7 +33,7 @@ _ERRORS = {
     -7: errors.BadBlockError,
 }
 
-_META_FIELDS = 9   # i64 per BlockMeta record
+_META_FIELDS = 11  # i64 per BlockMeta record
 
 
 def _build() -> str | None:
@@ -75,6 +75,8 @@ def get_lib():
             ctypes.POINTER(ctypes.c_size_t),
             ctypes.c_void_p, ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t),
         ]
         _lib = lib
         return _lib
@@ -115,6 +117,7 @@ def inflate(raw: bytes, dictionary: bytes = b"", start_bit: int = 0,
         raise RuntimeError("native library unavailable")
     if out_cap is None:
         out_cap = max(len(raw) * 40, 1 << 20)
+    anchors_out = None
     while True:
         dst = np.empty(out_cap, np.uint8)
         dstlen = ctypes.c_size_t(0)
@@ -125,6 +128,9 @@ def inflate(raw: bytes, dictionary: bytes = b"", start_bit: int = 0,
             meta = np.zeros((metacap, _META_FIELDS), np.int64)
             lenscap = metacap * 320
             lens = np.zeros(lenscap, np.uint8)
+            anchcap = out_cap // 64 + metacap + 64
+            anch = np.zeros(anchcap, np.int64)
+            nanch = ctypes.c_size_t(0)
             r = lib.jd_inflate(
                 raw, len(raw), start_bit, dictionary, len(dictionary),
                 dst.ctypes.data_as(ctypes.c_void_p), out_cap,
@@ -132,14 +138,17 @@ def inflate(raw: bytes, dictionary: bytes = b"", start_bit: int = 0,
                 meta.ctypes.data_as(ctypes.c_void_p), metacap,
                 ctypes.byref(nblocks),
                 lens.ctypes.data_as(ctypes.c_void_p), lenscap,
-                ctypes.byref(endbit))
+                ctypes.byref(endbit),
+                anch.ctypes.data_as(ctypes.c_void_p), anchcap,
+                ctypes.byref(nanch))
         else:
-            meta = lens = None
+            meta = lens = anch = None
             r = lib.jd_inflate(
                 raw, len(raw), start_bit, dictionary, len(dictionary),
                 dst.ctypes.data_as(ctypes.c_void_p), out_cap,
                 ctypes.byref(dstlen),
-                None, 0, ctypes.byref(nblocks), None, 0, ctypes.byref(endbit))
+                None, 0, ctypes.byref(nblocks), None, 0, ctypes.byref(endbit),
+                None, 0, None)
         if r == -6 and out_cap < (1 << 34):       # grow output and retry
             out_cap *= 4
             continue
@@ -153,15 +162,19 @@ def inflate(raw: bytes, dictionary: bytes = b"", start_bit: int = 0,
         from ..formats import constants as C
         for i in range(int(nblocks.value)):
             (bit, btype, bfinal, out_off, out_len, sym_bit,
-             lens_off, hlit, hdist) = (int(x) for x in meta[i])
+             lens_off, hlit, hdist, anch_off, n_anch) = (
+                int(x) for x in meta[i])
             if btype == 2 and lens_off >= 0:
-                ll = meta_lens = lens[lens_off:lens_off + hlit].astype(np.int64)
+                ll = lens[lens_off:lens_off + hlit].astype(np.int64)
                 dl = lens[lens_off + hlit:lens_off + hlit + hdist].astype(np.int64)
             elif btype == 1:
                 ll = C.FIXED_LITLEN_LENGTHS.copy()
                 dl = C.FIXED_DIST_LENGTHS.copy()
             else:
                 ll = dl = None
-            records.append(BlockRecord(bit, btype, bool(bfinal), out_off,
-                                       out_len, sym_bit, ll, dl))
+            rec = BlockRecord(bit, btype, bool(bfinal), out_off,
+                              out_len, sym_bit, ll, dl)
+            rec.anchors = (anch[anch_off:anch_off + n_anch].copy()
+                           if btype != 0 and anch_off >= 0 else None)
+            records.append(rec)
     return dst[:int(dstlen.value)].tobytes(), records, int(endbit.value)

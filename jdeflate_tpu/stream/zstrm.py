@@ -26,13 +26,14 @@ _FORMATS = ("raw", "zlib", "gzip")
 
 def compress(data: bytes, format: str = "gzip", level: int = 6,
              dictionary: bytes | None = None, block_size: int = 1 << 16,
-             batch: int = 16) -> bytes:
+             batch: int = 16, fixed_codes: bool = False) -> bytes:
     """One-shot framed compression. Returns the complete framed stream."""
     if format not in _FORMATS:
         raise errors.IncorrectUseError(f"unknown format {format!r}")
     if format == "gzip" and dictionary:
         raise errors.IncorrectUseError("gzip framing has no dictionary field")
-    enc = RawDeflater(level=level, block_size=block_size, batch=batch)
+    enc = RawDeflater(level=level, block_size=block_size, batch=batch,
+                      fixed_codes=fixed_codes)
     raw, _ = enc.compress(data, dictionary=dictionary)
     if format == "raw":
         return raw
@@ -64,6 +65,17 @@ def compress_with_index(data: bytes, format: str = "gzip", level: int = 6,
     return out, index, len(hdr)
 
 
+def _seq_inflate(body: bytes, dictionary: bytes = b""):
+    """Sequential one-pass decode of a raw stream -> (out, end_bit)."""
+    from . import host_inflate as hi
+    from . import native
+    if native.available():
+        out, _, endbit = native.inflate(body, dictionary)
+    else:
+        out, _, endbit = hi.inflate_raw(body, dictionary)
+    return out, endbit
+
+
 def decompress(data: bytes, format: str = "auto",
                dictionary: bytes | None = None, verify: bool = True,
                index=None, header_len: int | None = None) -> bytes:
@@ -73,6 +85,8 @@ def decompress(data: bytes, format: str = "auto",
     (reference default for inflate, zstrm.c:93-98); or one of the three.
     index/header_len: optional parallel-decode index (bit offsets relative to
     the raw deflate body) as returned by compress_with_index.
+    gzip inputs may contain multiple members (RFC 1952 §2.2) — all are
+    decoded and concatenated, each trailer verified.
     """
     accepted = set(_FORMATS) if format == "auto" else {format}
     if format not in _FORMATS + ("auto",):
@@ -87,13 +101,32 @@ def decompress(data: bytes, format: str = "auto",
 
     if fmt == "gzip":
         hl = H.parse_gzip_header(data)
-        body = data[hl:]
-        if index is not None and header_len not in (None, hl):
-            raise errors.IncorrectUseError("index/header mismatch")
-        out = dec.decompress(body, index=index)
-        if verify:
-            H.check_gzip_trailer(data[-8:], cs.crc32(out), len(out))
-        return out
+        if index is not None:
+            # single member produced by compress_with_index
+            if header_len not in (None, hl):
+                raise errors.IncorrectUseError("index/header mismatch")
+            out = dec.decompress(data[hl:], index=index)
+            if verify:
+                H.check_gzip_trailer(data[-8:], cs.crc32(out), len(out))
+            return out
+        # multi-member loop (RFC 1952 §2.2; decode path per member)
+        out = bytearray()
+        pos = 0
+        while True:
+            hl = H.parse_gzip_header(data[pos:])
+            body = data[pos + hl:]
+            o, endbit = _seq_inflate(body)
+            nbytes = (endbit + 7) // 8
+            if verify:
+                H.check_gzip_trailer(body[nbytes:nbytes + 8],
+                                     cs.crc32(o), len(o))
+            elif len(body) < nbytes + 8:
+                raise errors.InputEndError("truncated gzip trailer")
+            out += o
+            pos += hl + nbytes + 8
+            if pos >= len(data) or data[pos:pos + 2] != b"\x1f\x8b":
+                break
+        return bytes(out)
 
     hl, dictid = H.parse_zlib_header(data)
     if dictid is not None:
@@ -116,26 +149,35 @@ class ZStream:
     flush(final=False) emits a byte-aligned sync-flush seam
     (Z_SYNC_FLUSH / DEFLT_FLUSH semantics).
 
-    Inflate side: one-shot feed via decompress_all (byte-granular resumable
-    decode is intentionally not reproduced — suspension is at block
-    granularity on TPU; use the host referee for exotic streaming needs).
+    Inflate side: feed(data) decodes complete gzip members incrementally
+    (member-granularity streaming; RFC 1952 §2.2 multi-member concatenation);
+    zlib/raw streams decode at finish(). read() takes decoded output;
+    used_input / unused_data report trailing-data accounting (the reference's
+    usedinput, zstrm.c:888-908). Byte-granular suspension is intentionally
+    not reproduced — suspension is at member/block granularity on TPU.
 
     Errors latch: any failure poisons the stream (reference state 0xDEADBEEF).
     """
 
     def __init__(self, mode: str, format: str = "gzip", level: int = 6,
                  dictionary: bytes | None = None, block_size: int = 1 << 16,
-                 batch: int = 16):
+                 batch: int = 16, checksum: str = "auto"):
         if mode not in ("deflate", "inflate"):
             raise errors.IncorrectUseError("mode must be 'deflate' or 'inflate'")
         if mode == "deflate" and format == "auto":
             raise errors.IncorrectUseError("deflate requires a concrete format")
+        if checksum not in ("auto", "force", "suppress"):
+            # reference checksum flags: ZSTRM_DOCRC32/DOADLER32 force,
+            # ZSTRM_NOCRC32/NOADLER32 suppress (zstrm.h:53-61)
+            raise errors.IncorrectUseError(
+                "checksum must be 'auto', 'force' or 'suppress'")
         self.mode = mode
         self.format = format
         self.level = level
         self.dictionary = dictionary
         self.block_size = block_size
         self.batch = batch
+        self.checksum_mode = checksum
         self._buf = bytearray()
         self._out = bytearray()
         self._started = False
@@ -143,6 +185,8 @@ class ZStream:
         self._poisoned = False
         self.total_in = 0
         self.total_out = 0
+        self.used_input = 0       # consumed compressed bytes (inflate side;
+        self.unused_data = b""    # reference usedinput, zstrm.c:888-908)
         self._crc = 0
         self._adler = 1
         self._pending_tail = bytearray()  # encoded-but-unflushed member body
@@ -226,41 +270,123 @@ class ZStream:
                 self._emit(H.emit_zlib_trailer(self._adler))
         return self.read()
 
-    def read(self) -> bytes:
-        out = bytes(self._out)
-        self._out.clear()
-        return out
-
     # ---- inflate side ----
 
-    def feed(self, data: bytes):
-        """Buffer compressed input (inflate mode)."""
+    def feed(self, data: bytes) -> None:
+        """Buffer compressed input; gzip members decode incrementally as
+        they complete (the reference's incremental inflate drive,
+        zstrm.c:792-958, at member granularity instead of bytes). Decoded
+        output accumulates; take it with read() or at finish()."""
         self._check()
         if self.mode != "inflate":
             self._poisoned = True
             raise errors.IncorrectUseError("feed() on a deflate stream")
         self._buf += data
         self.total_in += len(data)
+        try:
+            self._drain_members()
+        except errors.JDeflateError:
+            self._poisoned = True
+            raise
+
+    def _inflate_fmt(self):
+        accepted = set(_FORMATS) if self.format == "auto" else {self.format}
+        return H.detect_format(self._buf[0], accepted)
+
+    def _verify(self) -> bool:
+        return self.checksum_mode != "suppress"
+
+    def _drain_members(self):
+        """Decode every complete gzip member currently buffered."""
+        if not self._buf or self._finished:
+            return
+        if self.used_input == 0 and self._inflate_fmt() != "gzip":
+            return                      # zlib/raw decode at finish()
+        while self._buf:
+            if len(self._buf) >= 2 and bytes(self._buf[:2]) != b"\x1f\x8b":
+                break                   # trailing non-gzip data
+            try:
+                hl = H.parse_gzip_header(bytes(self._buf))
+            except errors.InputEndError:
+                return                  # incomplete header: wait for more
+            body = bytes(self._buf[hl:])
+            try:
+                o, endbit = _seq_inflate(body)
+            except errors.InputEndError:
+                return                  # incomplete member: wait for more
+            nb = (endbit + 7) // 8
+            if len(body) < nb + 8:
+                return                  # trailer not yet arrived
+            if self._verify():
+                H.check_gzip_trailer(body[nb:nb + 8], cs.crc32(o), len(o))
+            self._out += o
+            consumed = hl + nb + 8
+            del self._buf[:consumed]
+            self.used_input += consumed
+            self.total_out += len(o)
+
+    def read(self) -> bytes:
+        """Take decoded-so-far output (inflate) or encoded output (deflate)."""
+        out = bytes(self._out)
+        self._out.clear()
+        return out
 
     def finish(self) -> bytes:
         """Decode everything fed so far and verify trailers (inflate mode).
 
-        Suspension granularity is the block batch on TPU (SURVEY.md §5): the
-        byte-granular resumable decode of the reference is intentionally
-        replaced by feed-then-finish plus per-member incremental decode for
-        multi-member gzip files.
+        Suspension granularity is the member/block batch on TPU (SURVEY.md
+        §5): gzip members decode incrementally in feed(); zlib/raw streams
+        decode here. Trailing non-stream bytes are preserved in unused_data
+        with used_input accounting (reference usedinput, zstrm.c:888-908).
         """
         self._check()
         if self.mode != "inflate":
             self._poisoned = True
             raise errors.IncorrectUseError("finish() on a deflate stream")
+        if self._finished:
+            return self.read()
         try:
-            out = decompress(bytes(self._buf), format=self.format,
-                             dictionary=self.dictionary)
+            self._drain_members()
+            if self._buf:
+                fmt = self._inflate_fmt() if not self.used_input else None
+                if self.used_input:
+                    # gzip members already decoded; remainder is trailing data
+                    if bytes(self._buf[:2]) == b"\x1f\x8b":
+                        raise errors.InputEndError("truncated gzip member")
+                    self.unused_data = bytes(self._buf)
+                elif fmt == "gzip":
+                    raise errors.InputEndError("truncated gzip member")
+                elif fmt == "zlib":
+                    data = bytes(self._buf)
+                    hl, dictid = H.parse_zlib_header(data)
+                    if dictid is not None:
+                        if self.dictionary is None:
+                            raise errors.MissingDictError(
+                                "stream requires a preset dictionary")
+                        if cs.adler32(self.dictionary) != dictid:
+                            raise errors.BadDictError("dictionary id mismatch")
+                    o, endbit = _seq_inflate(data[hl:], self.dictionary or b"")
+                    nb = (endbit + 7) // 8
+                    if len(data) < hl + nb + 4:
+                        raise errors.InputEndError("truncated zlib trailer")
+                    if self._verify():
+                        H.check_zlib_trailer(data[hl + nb:hl + nb + 4],
+                                             cs.adler32(o))
+                    self._out += o
+                    self.used_input += hl + nb + 4
+                    self.unused_data = data[hl + nb + 4:]
+                    self.total_out += len(o)
+                else:
+                    data = bytes(self._buf)
+                    o, endbit = _seq_inflate(data, self.dictionary or b"")
+                    nb = (endbit + 7) // 8
+                    self._out += o
+                    self.used_input += nb
+                    self.unused_data = data[nb:]
+                    self.total_out += len(o)
+                self._buf.clear()
         except errors.JDeflateError:
             self._poisoned = True
             raise
-        self._buf.clear()
         self._finished = True
-        self.total_out += len(out)
-        return out
+        return self.read()

@@ -192,6 +192,8 @@ struct BlockMeta {
   i64 lens_off;   // offset into lengths buffer
   i64 hlit;
   i64 hdist;
+  i64 anch_off;   // offset into anchors buffer (-1 if none recorded)
+  i64 n_anch;     // anchors recorded for this block
 };
 
 int build_fixed(Huff& lit, Huff& dist) {
@@ -302,18 +304,24 @@ int jd_parse_header(const u8* src, size_t srclen, i64 bit, u8* ll, u8* dl,
 //   dst/dstcap: output buffer; *dstlen <- produced bytes.
 //   meta/metacap: optional per-block records; *nblocks <- count.
 //   lens/lenscap: optional code-length dump (u8), rows per meta.lens_off.
+//   anchors/anchcap: optional per-block symbol anchors (bit position of every
+//     64th symbol, ordinals 65, 129, ... — the same contract the encoder's
+//     index uses, so indexed foreign streams take the exact anchored decode
+//     path on device with no speculation).
 //   *end_bit <- bit position after the final block.
 // Returns JD_OK or a negative error.
 int jd_inflate(const u8* src, size_t srclen, i64 start_bit,
                const u8* dict, size_t dictlen,
                u8* dst, size_t dstcap, size_t* dstlen,
                BlockMeta* meta, size_t metacap, size_t* nblocks,
-               u8* lens, size_t lenscap, i64* end_bit) {
+               u8* lens, size_t lenscap, i64* end_bit,
+               i64* anchors, size_t anchcap, size_t* nanchors) {
   BitReader br;
   br.init(src, srclen, (size_t) start_bit);
   size_t out = 0;
   size_t nblk = 0;
   size_t lens_used = 0;
+  size_t anch_used = 0;
   // history: dict occupies virtual positions [-dictlen, 0)
   for (;;) {
     u32 bfinal, btype;
@@ -327,6 +335,8 @@ int jd_inflate(const u8* src, size_t srclen, i64 start_bit,
     bm.lens_off = -1;
     bm.hlit = 0;
     bm.hdist = 0;
+    bm.anch_off = -1;
+    bm.n_anch = 0;
     if (btype == 3) return JD_EBADBLOCK;
     if (btype == 0) {
       br.align_byte();
@@ -402,7 +412,15 @@ int jd_inflate(const u8* src, size_t srclen, i64 start_bit,
         }
       }
       // symbol loop
+      i64 nsym = 0;
+      if (anchors) bm.anch_off = (i64) anch_used;
       for (;;) {
+        nsym++;
+        if (anchors && nsym > 64 && ((nsym - 1) & 63) == 0
+            && anch_used < anchcap) {
+          anchors[anch_used++] = br.bit_position();
+          bm.n_anch++;
+        }
         int s = lit.decode(br);
         if (s < 0) return s;
         if (s < 256) {

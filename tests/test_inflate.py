@@ -128,3 +128,55 @@ def test_split_stored_block_indexed_decode(rng, dec):
     data = rng.integers(0, 256, 80000, dtype=np.uint8).tobytes()
     raw, idx = RawDeflater(level=6, block_size=65536, batch=1).compress(data)
     assert dec.decompress(raw, index=idx) == data
+
+
+class TestForeignIndexedDecode:
+    """Foreign (zlib-produced) streams through the parallel anchored path.
+
+    The reference accepts any RFC 1951 stream sequentially
+    (inflator.c:764-903); the TPU framework additionally indexes foreign
+    streams once (native pass) and decodes them through the same exact
+    anchored device path our own index enables."""
+
+    def test_zlib_stream_indexed_roundtrip(self, corpus):
+        import zlib
+        data = corpus("text", 3 << 20) + corpus("binary", 1 << 20)
+        raw = zlib.compress(data, 6)[2:-4]          # strip zlib framing
+        dec = RawInflater()
+        index = dec.build_index(raw)
+        assert index["n"] == len(data)
+        assert len(index["block_bits"]) >= 1
+        # anchors present for huffman blocks of meaningful size
+        assert any(a is not None and len(a) > 0 for a in index["anchors"])
+        out = dec.decompress(raw, index=index)
+        assert out == data
+
+    def test_zlib_indexed_no_fallback(self, corpus):
+        """The anchored device path must succeed (err == 0), not fall back."""
+        import zlib
+        from jdeflate_tpu.codec import inflate as I
+        data = corpus("text", 1 << 20)
+        raw = zlib.compress(data, 9)[2:-4]
+        dec = RawInflater()
+        index = dec.build_index(raw)
+        stats = []
+        orig = I.decode_batch_anchored
+        def spy(*a, **k):
+            r = orig(*a, **k)
+            stats.append((int(r[1]), int(r[2])))
+            return r
+        I.decode_batch_anchored = spy
+        try:
+            out = dec.decompress(raw, index=index)
+        finally:
+            I.decode_batch_anchored = orig
+        assert out == data
+        assert stats and all(err == 0 for _, err in stats)
+
+    def test_foreign_stored_and_dynamic_mix(self, corpus):
+        import zlib
+        data = corpus("random", 200_000) + corpus("text", 300_000)
+        raw = zlib.compress(data, 1)[2:-4]
+        dec = RawInflater()
+        index = dec.build_index(raw)
+        assert dec.decompress(raw, index=index) == data

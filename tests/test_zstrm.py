@@ -154,8 +154,93 @@ def test_inflate_stream_feed_finish(corpus):
 
 def test_inflate_stream_poisoned_on_bad_data():
     z = jd.ZStream("inflate", format="auto")
-    z.feed(b"\x1f\x8b\x08\x00garbagegarbage")
+    # bad data may be detected eagerly at feed() (member draining) or at
+    # finish(); either way the stream must poison afterwards
     with pytest.raises(errors.JDeflateError):
+        z.feed(b"\x1f\x8b\x08\x00garbagegarbage")
         z.finish()
     with pytest.raises(errors.StreamPoisonedError):
         z.feed(b"more")
+
+
+def test_multimember_gzip_decompress(corpus):
+    """RFC 1952 §2.2: concatenated gzip members decode as one output."""
+    a = corpus("text", 30000)
+    b = corpus("binary", 20000)
+    blob = jd.compress(a, format="gzip") + jd.compress(b, format="gzip")
+    assert jd.decompress(blob) == a + b
+    import gzip
+    assert gzip.decompress(blob) == a + b
+
+
+def test_inflate_streaming_members_incremental(corpus):
+    parts = [corpus("text", 15000), corpus("runs", 9000), corpus("text", 5000)]
+    blob = b"".join(jd.compress(p, format="gzip") for p in parts)
+    z = jd.ZStream("inflate", format="gzip")
+    got = bytearray()
+    step = 700
+    for i in range(0, len(blob), step):
+        z.feed(blob[i:i + step])
+        got += z.read()          # incremental member-granular output
+    got += z.finish()
+    assert bytes(got) == b"".join(parts)
+    assert z.used_input == len(blob)
+    assert z.unused_data == b""
+
+
+def test_inflate_trailing_data_accounting(corpus):
+    """Reference usedinput contract (zstrm.c:888-908): consumed bytes are
+    reported and trailing data is preserved."""
+    data = corpus("text", 8000)
+    blob = jd.compress(data, format="gzip")
+    trailer = b"NOT GZIP DATA"
+    z = jd.ZStream("inflate", format="gzip")
+    z.feed(blob + trailer)
+    out = z.finish()
+    assert out == data
+    assert z.used_input == len(blob)
+    assert z.unused_data == trailer
+
+
+def test_inflate_zlib_trailing_and_used(corpus):
+    data = corpus("binary", 6000)
+    blob = jd.compress(data, format="zlib")
+    z = jd.ZStream("inflate", format="zlib")
+    z.feed(blob + b"XYZ")
+    assert z.finish() == data
+    assert z.used_input == len(blob)
+    assert z.unused_data == b"XYZ"
+
+
+def test_truncated_member_errors(corpus):
+    data = corpus("text", 20000)
+    blob = jd.compress(data, format="gzip")
+    z = jd.ZStream("inflate", format="gzip")
+    z.feed(blob[:len(blob) // 2])
+    with pytest.raises(errors.InputEndError):
+        z.finish()
+
+
+def test_checksum_suppress_skips_verification(corpus):
+    data = corpus("text", 5000)
+    blob = bytearray(jd.compress(data, format="gzip"))
+    blob[-6] ^= 0xFF             # corrupt stored CRC (not the payload)
+    z = jd.ZStream("inflate", format="gzip", checksum="suppress")
+    z.feed(bytes(blob))
+    assert z.finish() == data    # corrupted CRC ignored
+    z2 = jd.ZStream("inflate", format="gzip")
+    with pytest.raises(errors.JDeflateError):   # eager at feed, or at finish
+        z2.feed(bytes(blob))
+        z2.finish()
+
+
+def test_fixed_codes_flag(corpus):
+    """DEFLT_FIXEDCODES analog (deflator.h:74-76): every block uses the
+    static trees; output stays decodable and BTYPE is never dynamic."""
+    data = corpus("text", 30000)
+    blob = jd.compress(data, format="raw", fixed_codes=True)
+    import zlib
+    assert zlib.decompress(blob, -15) == data
+    from jdeflate_tpu.stream import host_inflate as hi
+    _, recs, _ = hi.inflate_raw(blob)
+    assert all(r.btype != 2 for r in recs)
