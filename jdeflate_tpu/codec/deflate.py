@@ -48,7 +48,12 @@ _SENT = np.int32(19)          # run-breaking sentinel code length (np, not jnp:
 
 CHUNK = 8192                  # splitter granularity (bytes of input)
 # estimated dynamic-header cost used by the split DP: constant part
-# (3 + 14 + precode lengths) + per-distinct-symbol RLE cost in bits
+# (3 + 14 + precode lengths) + per-distinct-symbol RLE cost in bits.
+# Tuned by measurement (level 6: 0.978x reference; level 9: 1.0045x).
+# Raising the estimate to the measured per-header bit cost merges more
+# chunks but measured slightly WORSE at every level: the DP's empirical
+# chunk entropies overestimate split gains symmetrically, and the two
+# errors roughly cancel at this setting.
 _SPLIT_HDR_C0 = np.float32(120.0)
 _SPLIT_HDR_C1 = np.float32(5.5)
 
@@ -306,7 +311,9 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
 
     # ---- batch-flat token pipeline (see ops/lz77.py layout note) ----
     length, dist = lz77.find_matches_batch(
-        ext, block_len, valid_from, HALO, bl, PAD, max(cfg.probes, 1))
+        ext, block_len, valid_from, HALO, bl, PAD, max(cfg.probes, 1),
+        ext_top=cfg.ext_top, ext_rounds=cfg.ext_rounds, rescue=cfg.rescue,
+        probe_words=cfg.probe_words)
     take = lz77.parse_take(length, dist, block_len, cfg.lazy, cfg.good_length)
     # sequential-parse equivalent via the match-space walk (Pallas on TPU):
     # runs once per emitted match, not once per position
@@ -604,6 +611,34 @@ def words_bound(bl: int, batch: int) -> int:
     return (batch * (11 * bl + 8192 + _nch(bl) * 4200)) // 32 + 4
 
 
+def index_entries_from_meta(bl: int, batch: int, startf, hdr_off, anc,
+                            stored_h, nblocks: int, n_total: int,
+                            base_bits: int, base_byte: int):
+    """Assemble parallel-decode index entries (bits, bytes, anchors) from one
+    batch's device meta (shared by the single-chip driver and the sharded
+    encoder; one entry per emitted sub-block)."""
+    nch = _nch(bl)
+    CH = bl // nch
+    index_bits, index_bytes, anchors_out = [], [], []
+    for i in range(min(batch, nblocks)):
+        blk_byte0 = base_byte + i * bl
+        if stored_h[i]:
+            index_bits.append(base_bits + int(hdr_off[i, 0]))
+            index_bytes.append(blk_byte0)
+            anchors_out.append(None)
+            continue
+        cs_list = [c for c in range(nch)
+                   if startf[i, c] and blk_byte0 + c * CH < n_total]
+        for t, c in enumerate(cs_list):
+            ce = cs_list[t + 1] if t + 1 < len(cs_list) else nch
+            index_bits.append(base_bits + int(hdr_off[i, c]))
+            index_bytes.append(blk_byte0 + c * CH)
+            alist = np.concatenate(
+                [anc[i, cc][anc[i, cc] >= 0] for cc in range(c, ce)])
+            anchors_out.append((base_bits + alist).astype(np.int64))
+    return index_bits, index_bytes, anchors_out
+
+
 class RawDeflater:
     """Host-side driver producing a complete raw DEFLATE stream (RFC 1951).
 
@@ -701,24 +736,12 @@ class RawDeflater:
             else:
                 wb = np.asarray(words).view(np.uint8)  # little-endian words
             base_bits = len(out) * 8
-            for i in range(min(batch, nblocks - b0)):
-                blk_byte0 = (b0 + i) * bl
-                if stored_h[i]:
-                    index_bits.append(base_bits + int(hdr_off[i, 0]))
-                    index_bytes.append(blk_byte0)
-                    anchors_out.append(None)
-                else:
-                    cs_list = [c for c in range(nch)
-                               if startf[i, c] and blk_byte0 + c * CH < n]
-                    for t, c in enumerate(cs_list):
-                        ce = cs_list[t + 1] if t + 1 < len(cs_list) else nch
-                        index_bits.append(base_bits + int(hdr_off[i, c]))
-                        index_bytes.append(blk_byte0 + c * CH)
-                        alist = np.concatenate(
-                            [anc[i, cc][anc[i, cc] >= 0]
-                             for cc in range(c, ce)])
-                        anchors_out.append(
-                            (base_bits + alist).astype(np.int64))
+            ib, iy, ia = index_entries_from_meta(
+                bl, batch, startf, hdr_off, anc, stored_h, nblocks - b0, n,
+                base_bits, b0 * bl)
+            index_bits += ib
+            index_bytes += iy
+            anchors_out += ia
             if b0 + batch >= nblocks and final:
                 out += wb[: (total + 7) // 8].tobytes()
             else:

@@ -21,10 +21,16 @@ class LevelConfig:
     probes: int        # hash-bucket candidates examined per position
     lazy: bool
     good_length: int   # lazy: accept immediately at or above this length
+    ext_top: int = 8   # top-T distance passes in exact match extension
+    ext_rounds: int = 4   # residual gather-compare rounds (16 bytes each)
+    rescue: bool = False  # 3-byte secondary hash (deflator.c:49-70, levels>=6)
+    probe_words: int = 8  # co-sorted prefix words (4B each) per candidate
 
 
 _CHAIN = {1: 2, 2: 8, 3: 16, 4: 32, 5: 128, 6: 48, 7: 128, 8: 320, 9: 512}
-_PROBE_CAP = {1: 2, 2: 8, 3: 16, 4: 24, 5: 32, 6: 48, 7: 64, 8: 128, 9: 256}
+_PROBE_CAP = {1: 2, 2: 8, 3: 16, 4: 24, 5: 32, 6: 48, 7: 128, 8: 320, 9: 512}
+_EXT_TOP = {1: 8, 2: 8, 3: 8, 4: 8, 5: 8, 6: 8, 7: 8, 8: 16, 9: 16}
+_EXT_ROUNDS = {1: 4, 2: 4, 3: 4, 4: 4, 5: 4, 6: 4, 7: 6, 8: 8, 9: 16}
 
 
 def get_level(level: int) -> LevelConfig:
@@ -45,4 +51,8 @@ def get_level(level: int) -> LevelConfig:
         probes=min(_CHAIN[level], _PROBE_CAP[level]),
         lazy=level >= 6,
         good_length=259,
+        ext_top=_EXT_TOP[level],
+        ext_rounds=_EXT_ROUNDS[level],
+        rescue=level >= 6,
+        probe_words=16 if level >= 8 else 8,
     )

@@ -102,7 +102,9 @@ def _shift_right(a: jnp.ndarray, k: int, fill=0):
 
 def find_matches_batch(ext: jnp.ndarray, block_len: jnp.ndarray,
                        valid_from: jnp.ndarray, halo: int, bl: int, pad: int,
-                       k: int, exact_ext: bool = True):
+                       k: int, exact_ext: bool = True, ext_top: int = 8,
+                       ext_rounds: int = 4, rescue: bool = False,
+                       probe_words: int = 8):
     """Best match per position for a whole batch of blocks at once.
 
     ext: (B, halo + bl + pad) u8 rows (halo history + block + zero pad).
@@ -132,13 +134,20 @@ def find_matches_batch(ext: jnp.ndarray, block_len: jnp.ndarray,
         c3 = e32[:, off + 3:off + 3 + nh]
         return c | (c1 << 8) | (c2 << 16) | (c3 << 24)
 
-    w0, w1, w2, w3 = wcol(0), wcol(4), wcol(8), wcol(12)
-    h = (w0 * HASH_MULT) >> (32 - HASH_BITS)
+    # 32-byte probe prefixes: candidate SELECTION quality is bounded by the
+    # compare width (a near candidate that matches 16 bytes must not shadow a
+    # far one matching 80) — 8 co-sorted words cost little (the sort is ~3
+    # ms/MB) and close most of the selection gap vs the reference's
+    # full-length chain compares (getmatchlength, deflator.c:1977-2101).
+    PW = probe_words
+    sw = [wcol(4 * t) for t in range(PW)]
+    h = (sw[0] * HASH_MULT) >> (32 - HASH_BITS)
     pos = jnp.broadcast_to(jnp.arange(nh, dtype=jnp.uint32)[None, :], (B, nh))
     key = (h << 17) | pos
 
-    skey, s0, s1, s2, s3 = jax.lax.sort(
-        (key, w0, w1, w2, w3), dimension=1, num_keys=1)
+    sorted_all = jax.lax.sort((key, *sw), dimension=1, num_keys=1)
+    skey = sorted_all[0]
+    sw = list(sorted_all[1:])
     spos = (skey & 0x1FFFF).astype(jnp.int32)
     shash = skey >> 17
     svfrom = valid_from[:, None]
@@ -149,33 +158,27 @@ def find_matches_batch(ext: jnp.ndarray, block_len: jnp.ndarray,
 
     def probe(kk, carry):
         best_len, best_dist = carry
-        cpos = _shift_right(spos, 1, 0)
         # dynamic shift by kk: implemented as lax.dynamic_slice-style pad is
         # not available for traced kk; use a scan-free roll with column mask
         cpos = jnp.roll(spos, kk, axis=1)
         chash = jnp.roll(shash, kk, axis=1)
-        c0 = jnp.roll(s0, kk, axis=1)
-        c1 = jnp.roll(s1, kk, axis=1)
-        c2 = jnp.roll(s2, kk, axis=1)
-        c3 = jnp.roll(s3, kk, axis=1)
         dist = spos - cpos
         ok = (col >= kk) & (chash == shash) & (dist > 0) \
             & (dist <= C.WINDOW_SIZE) & (cpos >= svfrom)
-        eq0 = s0 == c0
-        eq1 = s1 == c1
-        eq2 = s2 == c2
-        eq3 = s3 == c3
-        m4 = eq0.astype(jnp.int32)
-        r = m4
-        r = r * eq1.astype(jnp.int32); m4 = m4 + r
-        r = r * eq2.astype(jnp.int32); m4 = m4 + r
-        r = r * eq3.astype(jnp.int32); m4 = m4 + r
-        x = jnp.where(eq0, jnp.where(eq1, jnp.where(eq2, s3 ^ c3, s2 ^ c2),
-                                     s1 ^ c1), s0 ^ c0)
-        l16 = jnp.where(m4 >= 4, 16, 4 * m4 + _lead_eq_bytes(x))
-        l16 = jnp.where(ok, l16, 0)
-        better = l16 > best_len
-        best_len = jnp.where(better, l16, best_len)
+        l = jnp.zeros((B, nh), jnp.int32)
+        run = jnp.ones((B, nh), jnp.int32)
+        firstx = jnp.zeros((B, nh), jnp.uint32)
+        for t in range(PW):
+            ct = jnp.roll(sw[t], kk, axis=1)
+            eq = sw[t] == ct
+            firstx = jnp.where((run == 1) & ~eq, sw[t] ^ ct, firstx)
+            l = l + jnp.where(run == 1, jnp.where(eq, 4, 0), 0)
+            run = run * eq.astype(jnp.int32)
+        l32 = jnp.minimum(
+            l + jnp.where(l < 4 * PW, _lead_eq_bytes(firstx), 0), 4 * PW)
+        l32 = jnp.where(ok, l32, 0)
+        better = l32 > best_len
+        best_len = jnp.where(better, l32, best_len)
         best_dist = jnp.where(better, dist, best_dist)
         return best_len, best_dist
 
@@ -187,6 +190,36 @@ def find_matches_batch(ext: jnp.ndarray, block_len: jnp.ndarray,
     _, plen, pdist = jax.lax.sort(
         (spos.astype(jnp.uint32), best_len, best_dist),
         dimension=1, num_keys=1)
+
+    if rescue:
+        # 3-byte secondary rescue hash (levels >= 6): the reference probes a
+        # QBITS=14 short-match table when the main 4-byte hash finds nothing
+        # (deflator.c:49-70, 2676-2711), rejecting len-3 beyond offset 8192
+        # (deflator.c:2829-2831). Batched analog: one extra (hash3, pos)
+        # sort + 2 adjacent probes comparing the low 3 bytes.
+        w0p = wcol(0)
+        h3 = ((w0p & 0xFFFFFF) * HASH_MULT) >> (32 - 14)
+        key3 = (h3 << 17) | pos
+        sk3, s3w = jax.lax.sort((key3, w0p), dimension=1, num_keys=1)
+        sp3 = (sk3 & 0x1FFFF).astype(jnp.int32)
+        sh3 = sk3 >> 17
+        r_len = jnp.zeros((B, nh), jnp.int32)
+        r_dist = jnp.zeros((B, nh), jnp.int32)
+        for kk in (1, 2):
+            cp = jnp.roll(sp3, kk, axis=1)
+            chh = jnp.roll(sh3, kk, axis=1)
+            cw = jnp.roll(s3w, kk, axis=1)
+            dist3 = sp3 - cp
+            ok3 = (col >= kk) & (chh == sh3) & (dist3 > 0) \
+                & (dist3 <= 8192) & (cp >= svfrom) \
+                & (((s3w ^ cw) & 0xFFFFFF) == 0) & (r_len == 0)
+            r_len = jnp.where(ok3, 3, r_len)
+            r_dist = jnp.where(ok3, dist3, r_dist)
+        _, r_len, r_dist = jax.lax.sort(
+            (sp3.astype(jnp.uint32), r_len, r_dist), dimension=1, num_keys=1)
+        use3 = (plen < C.MIN_MATCH) & (r_len == 3)
+        plen = jnp.where(use3, 3, plen)
+        pdist = jnp.where(use3, r_dist, pdist)
 
     # link extension: LCP(i,d) = s + LCP(i+s,d) when dist matches (shifted
     # selects; exact, never overstated). Chains double 16->32->64->128->258.
@@ -223,7 +256,7 @@ def find_matches_batch(ext: jnp.ndarray, block_len: jnp.ndarray,
     # suffix run length of eq[j] = (ext[j] == ext[j-d]) IS the exact LCP at
     # every position whose match distance is d — computed for all positions
     # at once with one shift-compare and one reverse cummin per d.
-    T = 8           # stuck-mass coverage plateaus at ~72% by top-8 (measured)
+    T = ext_top     # stuck-mass coverage plateaus at ~72% by top-8 (measured)
     pl2 = plen
     pd2 = pdist
     stuck0 = (pl2 > 0) & (pl2 % 16 == 0) & (pl2 < 258)
@@ -267,12 +300,13 @@ def find_matches_batch(ext: jnp.ndarray, block_len: jnp.ndarray,
     cand_s = qi_s - pd[si]
     l0 = jnp.where(valid, pl[si], 0)
 
-    # 4 rounds = +64 bytes: the top-T stage already took the long-run mass
-    # (RLE periods, record strides), so the residue's true extensions are
-    # short; capping rounds bounds the gather bill at 4*M*8.
+    # ext_rounds * 16 bytes of residual extension: the top-T stage already
+    # took the long-run mass (RLE periods, record strides), so the residue's
+    # true extensions are short; the cap bounds the gather bill at rounds*M*8
+    # (higher levels spend more, cf. the reference's chain table).
     def ext_cond(c):
         r, l = c
-        return (r < 4) & jnp.any(
+        return (r < ext_rounds) & jnp.any(
             (l > 0) & (l % 16 == 0) & (l < 258))
 
     def ext_body(c):
@@ -320,10 +354,14 @@ def parse_take(length: jnp.ndarray, dist: jnp.ndarray, block_len: jnp.ndarray,
     B = length.shape[0]
     if not lazy:
         return length > C.MIN_MATCH
-    ok = (length >= C.MIN_MATCH) & ~((length == C.MIN_MATCH) & (dist > 8192))
+    # len-3 acceptance: the reference rejects offset > 8192
+    # (deflator.c:2829-2831); with entropy-coded literals at ~5-6 bits a
+    # len-3 match only pays for itself when the distance extra bits are
+    # small — measured cutoff d <= 256 compresses better at every level
+    ok = (length >= C.MIN_MATCH) & ~((length == C.MIN_MATCH) & (dist > 256))
     ln = jnp.concatenate([length[:, 1:], jnp.zeros((B, 1), jnp.int32)], 1)
     dn = jnp.concatenate([dist[:, 1:], jnp.ones((B, 1), jnp.int32)], 1)
-    ok_n = (ln >= C.MIN_MATCH) & ~((ln == C.MIN_MATCH) & (dn > 8192))
+    ok_n = (ln >= C.MIN_MATCH) & ~((ln == C.MIN_MATCH) & (dn > 256))
     defer = ok_n & (
         (8 + _match_cost_bits(ln, dn)) * length <
         _match_cost_bits(length, dist) * (1 + ln))

@@ -57,17 +57,22 @@ def encode_sharded(data_sh, shard_lens, dict_lens, final_blocks,
     """
 
     def body(d, n, dl, fin):
-        words, total, per_block, _, _, _, _, _ = De.encode_batch_impl(
+        (words, total, per_block, _, start_f, hdr_off, anchors,
+         stored) = De.encode_batch_impl(
             d[0], jnp.int32(0), n[0], dl[0], fin[0],
             bl, bpd, level, num_words)
         # (a) all-gather per-shard bit lengths over ICI
         lens = jax.lax.all_gather(total, DP_AXIS)
-        return words[None], total[None], per_block[None], lens[None]
+        return (words[None], total[None], per_block[None], lens[None],
+                start_f[None].astype(jnp.int32), hdr_off[None],
+                anchors[None], stored[None].astype(jnp.int32))
 
     return shard_map(
         body, mesh=mesh,
         in_specs=(P(DP_AXIS, None), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS)),
         out_specs=(P(DP_AXIS, None), P(DP_AXIS), P(DP_AXIS, None),
+                   P(DP_AXIS, None), P(DP_AXIS, None, None),
+                   P(DP_AXIS, None, None), P(DP_AXIS, None, None, None),
                    P(DP_AXIS, None)),
         check_vma=False)(data_sh, shard_lens, dict_lens, final_blocks)
 
@@ -147,7 +152,8 @@ class ShardedDeflater:
             data_sh = jax.device_put(
                 jnp.asarray(buf),
                 jax.sharding.NamedSharding(self.mesh, P(DP_AXIS, None)))
-            words, totals, per_block, _ = encode_sharded(
+            (words, totals, per_block, _, start_f, hdr_off, anchors,
+             stored) = encode_sharded(
                 data_sh, jnp.asarray(lens), jnp.asarray(dls),
                 jnp.asarray(fins), self.mesh, bl, bpd, self.level, nw)
             crcs, adlers = checksums_sharded(
@@ -156,6 +162,10 @@ class ShardedDeflater:
             th = np.asarray(totals)
             ch = np.asarray(crcs)
             ah = np.asarray(adlers)
+            sf = np.asarray(start_f)
+            ho = np.asarray(hdr_off)
+            an = np.asarray(anchors)
+            st = np.asarray(stored)
             for k in range(d):
                 ln = int(lens[k])
                 if ln == 0:
@@ -164,10 +174,17 @@ class ShardedDeflater:
                 body = wh[k].view(np.uint8)
                 if self.mode == "members":
                     mstart = len(out)
-                    out += H.emit_gzip_header()
+                    hdr = H.emit_gzip_header()
+                    out += hdr
                     out += body[: (total + 7) // 8].tobytes()
                     out += H.emit_gzip_trailer(int(ch[k]), ln)
-                    members.append((mstart, len(out) - mstart, ln))
+                    nblk = (ln + bl - 1) // bl
+                    ib, iy, ia = De.index_entries_from_meta(
+                        bl, bpd, sf[k], ho[k], an[k], st[k], nblk, ln, 0, 0)
+                    members.append((mstart, len(out) - mstart, ln,
+                                    {"block_bits": ib, "block_bytes": iy,
+                                     "anchors": ia, "sync_points": [],
+                                     "n": ln, "header_len": len(hdr)}))
                 else:
                     final = done + ln >= n
                     if final:
@@ -195,16 +212,29 @@ class ShardedDeflater:
 
 
 def decompress_members(blob: bytes, info=None) -> bytes:
-    """Decode a (possibly multi-member) gzip file (RFC 1952 §2.2)."""
-    dec = RawInflater()
-    from ..stream import host_inflate as hi
-    out = bytearray()
-    pos = 0
-    while pos < len(blob):
-        hl = H.parse_gzip_header(blob[pos:])
-        body, recs, endbit = hi.inflate_raw(blob[pos + hl:])
-        H.check_gzip_trailer(
-            blob[pos + hl + (endbit + 7) // 8:], cs.crc32(body), len(body))
-        out += body
-        pos += hl + (endbit + 7) // 8 + 8
-    return bytes(out)
+    """Decode a (possibly multi-member) gzip file (RFC 1952 §2.2).
+
+    With `info` from ShardedDeflater (per-member parallel-decode indexes),
+    every member decodes through the anchored device path — the decode-side
+    mirror of the sharded encode. Without info, falls back to the one-shot
+    multi-member decoder (stream.zstrm.decompress).
+    """
+    if info and info.get("mode") == "members" and info.get("members"):
+        dec = RawInflater()
+        out = bytearray()
+        for m in info["members"]:
+            if len(m) >= 4 and isinstance(m[3], dict):
+                mstart, mlen, ln, index = m
+                hl = index["header_len"]
+                body = blob[mstart + hl: mstart + mlen - 8]
+                o = dec.decompress(body, index=index)
+                H.check_gzip_trailer(blob[mstart + mlen - 8: mstart + mlen],
+                                     cs.crc32(o), len(o))
+                out += o
+            else:
+                mstart, mlen = m[0], m[1]
+                from ..stream.zstrm import decompress as _d
+                out += _d(blob[mstart:mstart + mlen], format="gzip")
+        return bytes(out)
+    from ..stream.zstrm import decompress as _d
+    return _d(blob, format="gzip")

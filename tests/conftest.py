@@ -6,7 +6,9 @@ Must run before jax initializes.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+_TPU_TESTS = os.environ.get("JDT_TPU_TESTS") == "1"
+if not _TPU_TESTS:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,8 +18,10 @@ import jax
 
 # The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu" at
 # interpreter start; tests must run on the virtual 8-device CPU mesh, so
-# override it back before any backend is initialized.
-jax.config.update("jax_platforms", "cpu")
+# override it back before any backend is initialized. JDT_TPU_TESTS=1 keeps
+# the real TPU for tests/test_tpu_paths.py (run alone: one process per TPU).
+if not _TPU_TESTS:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
@@ -27,7 +31,8 @@ import pytest
 # real probe depths are exercised there and by the TPU-path pytest marker.
 from jdeflate_tpu.codec import levels as _levels
 
-_levels._PROBE_CAP.update({5: 8, 6: 8, 7: 8, 8: 8, 9: 8})
+if not _TPU_TESTS:
+    _levels._PROBE_CAP.update({5: 8, 6: 8, 7: 8, 8: 8, 9: 8})
 
 
 @pytest.fixture(scope="session")

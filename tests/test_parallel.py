@@ -77,3 +77,30 @@ def test_checksum_combination_matches_zlib(corpus, mesh8):
     crc, isize = struct.unpack("<II", blob[-8:])
     assert crc == zlib.crc32(data)
     assert isize == len(data)
+
+
+def test_members_device_decode(corpus):
+    """decompress_members must decode through the anchored device path when
+    the sharded encoder's per-member indexes are present (VERDICT: the
+    decode-side mirror of sharded encode; gzip members RFC 1952 §2.2)."""
+    from jdeflate_tpu.codec import inflate as I
+    from jdeflate_tpu.parallel.shard import ShardedDeflater, decompress_members
+    data = corpus("text", 200_000) + corpus("binary", 100_000)
+    enc = ShardedDeflater(level=6, block_size=1 << 14, blocks_per_device=2,
+                          mode="members")
+    blob, info = enc.compress(data)
+    import gzip
+    assert gzip.decompress(blob) == data
+    calls = []
+    orig = I.decode_batch_anchored
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        calls.append(int(r[2]))
+        return r
+    I.decode_batch_anchored = spy
+    try:
+        out = decompress_members(blob, info)
+    finally:
+        I.decode_batch_anchored = orig
+    assert out == data
+    assert calls and all(e == 0 for e in calls)
