@@ -37,6 +37,9 @@ class BlockRecord:
     litlen_lengths: np.ndarray | None = None
     dist_lengths: np.ndarray | None = None
     anchors: np.ndarray | None = None    # bit positions of symbols 65,129,...
+    win_anchors: np.ndarray | None = None  # per 32-bit window on the grid
+    # origin (sym_bit_offset & ~31): bit of the first symbol starting in the
+    # window, -1 for windows fully spanned by one symbol (ops/walk.py)
 
 
 class _BitReader:
@@ -232,7 +235,18 @@ def inflate_raw(data: bytes, dictionary: bytes = b"", max_output: int | None = N
                 sym_bit = br.pos
             ldec = _Decoder(ll)
             ddec = _Decoder(dl, allow_incomplete_single=True)
+            # window-anchor recording for the parallel walk (ops/walk.py):
+            # first symbol start in each 32-bit window of the grid anchored
+            # at sym_bit & ~31
+            org = sym_bit & ~31
+            wanch: list[int] = []
             while True:
+                if collect_index:
+                    w = (br.pos - org) >> 5
+                    while len(wanch) <= w:
+                        wanch.append(-1)
+                    if wanch[w] < 0:
+                        wanch[w] = br.pos
                 s = ldec.decode(br)
                 if s < 256:
                     out.append(s)
@@ -256,7 +270,8 @@ def inflate_raw(data: bytes, dictionary: bytes = b"", max_output: int | None = N
                     raise BadBlockError("output limit exceeded")
             rec = BlockRecord(hdr_bit, btype, bool(bfinal), out_start,
                               len(out) - base - out_start, sym_bit,
-                              np.asarray(ll), np.asarray(dl))
+                              np.asarray(ll), np.asarray(dl),
+                              win_anchors=np.asarray(wanch, np.int64))
         if collect_index:
             records.append(rec)
         if bfinal:
