@@ -71,6 +71,13 @@ def anchors_per_chunk(bl: int) -> int:
     return bl // _nch(bl) // 64 + 4
 
 
+def anchors_cap(bl: int) -> int:
+    """Window-anchor slots per block: one per 32 stream bits at the
+    worst-case compressed size (<= ~8.1 bits/byte after the stored-block
+    decision, plus per-sub-block header slack)."""
+    return (9 * bl + 8192 + _nch(bl) * 4200) // 32 + 8
+
+
 def _rle_runs(comb: jnp.ndarray) -> jnp.ndarray:
     """r[j] = number of equal values at and after j within the current run."""
     n = comb.shape[0]
@@ -283,15 +290,15 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
       BFINAL, cf. endstream deflator.c:609-654).
 
     Returns (words u32[num_words], total_bits, block_bits (batch,), ntok,
-    start_flags (batch, nch), hdr_off (batch, nch), anchors
-    (batch, nch, ACH), use_stored (batch,)).
+    start_flags (batch, nch), hdr_off (batch, nch), gwin (batch, nch) window
+    counts per group, wanch (batch, A_BLK) window anchors, use_stored
+    (batch,)).
     """
     cfg = levels_mod.get_level(level)
     nch = _nch(bl)
     CH = bl // nch
     CS = 1 + HDR_ITEMS + CH       # chunk stride: [eob slot, hdr, tokens]
     nitems = nch * CS + 1
-    ACH = CH // 64 + 4
     NL = C.NUM_LITLEN_USED
     ND = C.NUM_DIST_USED
     B = batch
@@ -533,12 +540,14 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     hdr_idx = (ci * CS + 1)[None, :] * jnp.ones((B, 1), jnp.int32)
     hdr_off = jnp.take_along_axis(offs2, hdr_idx, 1)                 # (B, nch)
 
-    # ---- symbol anchors for exact parallel decode ----
-    # every 64th symbol's bit position WITHIN ITS GROUP; scattered into
-    # per-chunk slots (host concatenates a group's chunk lists in order).
-    # Slot kinds are static: token/eob/final slots are symbols, headers not.
+    # ---- window anchors for the parallel walk (ops/walk.py) ----
+    # The stream is cut on a 32-bit word grid anchored at each group's first
+    # symbol bit (& ~31); for every window, record the bit offset of the
+    # first symbol starting in it. These are the exact decode-lane entry
+    # points — the bitpack scan knows every symbol's offset for free, so the
+    # index costs one scatter-min.
     kind = np.zeros(nitems, np.int32)             # 0 hdr, 1 token, 2 eob/final
-    sc_np = np.zeros(nitems, np.int32)            # scatter chunk per item
+    sc_np = np.zeros(nitems, np.int32)            # owning chunk per item
     for c in range(nch):
         base = c * CS
         kind[base] = 2
@@ -547,27 +556,31 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
         sc_np[base + 1 + HDR_ITEMS: base + CS] = c
     kind[nitems - 1] = 2
     sc_np[nitems - 1] = nch - 1
-    tokbase_np = np.asarray([c * CS + HDR_ITEMS for c in range(nch)], np.int32)
 
     sym_mask = (nb > 0) & (kind[None, :] > 0)
-    cum = jnp.cumsum(sym_mask.astype(jnp.int32), axis=1)             # (B, nitems)
-    gbase_idx = (gs * CS + HDR_ITEMS)                                # (B, nch)
-    base_chunk = jnp.take_along_axis(cum, gbase_idx, 1)              # (B, nch)
-    bpi = base_chunk[:, sc_np]                                       # (B, nitems)
-    o = cum - bpi
-    anchored = sym_mask & (o % 64 == 1) & (o > 1)
-    acum = jnp.cumsum(anchored.astype(jnp.int32), axis=1)
-    acb = acum[:, tokbase_np]                                        # (B, nch)
-    ai = (acum - 1) - acb[:, sc_np]
-    bb = (jnp.arange(B, dtype=jnp.int32) * nch)[:, None]
-    tgt = jnp.where(anchored & (ai >= 0) & (ai < ACH),
-                    (bb + sc_np[None, :]) * ACH + ai, B * nch * ACH)
-    anchors = jnp.full(B * nch * ACH, -1, jnp.int32).at[
-        tgt.reshape(-1)].max(offs2.reshape(-1), mode="drop").reshape(
-        B, nch, ACH)
+    # group sym-start offset, per chunk (the group that owns chunk c)
+    gso = jnp.take_along_axis(offs2, gs * CS + 1 + HDR_ITEMS, axis=1)
+    gsc = gs[:, sc_np]                            # (B, nitems) owning start chunk
+    org_it = gso[:, sc_np] & ~31
+    wid = (offs2 - org_it) >> 5                   # window id within the group
+    bbn = (jnp.arange(B, dtype=jnp.int32) * nch)[:, None]
+    gwin = jnp.zeros(B * nch, jnp.int32).at[
+        (bbn + gsc).reshape(-1)].max(
+        jnp.where(sym_mask, wid + 1, 0).reshape(-1)).reshape(B, nch)
+    gbase = jnp.cumsum(gwin, axis=1) - gwin       # exclusive, per block
+    aidx = jnp.take_along_axis(gbase, gsc, axis=1) + wid
+    A_BLK = anchors_cap(bl)
+    BIGA = np.int32(1 << 30)
+    tgt = jnp.where(sym_mask & (aidx >= 0) & (aidx < A_BLK),
+                    jnp.arange(B, dtype=jnp.int32)[:, None] * A_BLK + aidx,
+                    B * A_BLK)
+    wanch = jnp.full(B * A_BLK + 1, BIGA, jnp.int32).at[
+        tgt.reshape(-1)].min(
+        jnp.where(sym_mask, offs2, BIGA).reshape(-1),
+        mode="drop")[:B * A_BLK].reshape(B, A_BLK)
 
     return (words, total, per_block_bits, jnp.sum(ntok), start_f, hdr_off,
-            anchors, use_stored)
+            gwin, wanch, use_stored)
 
 
 encode_batch = jax.jit(
@@ -587,10 +600,10 @@ def encode_batch_packed(data, start_block, total_len, dict_len, final_block,
     read back once per batch afterwards; packing shrinks that to two reads
     (words + meta) per batch. meta = [total, ntok, per_block(batch),
     stored(batch), start_flags(batch*nch), hdr_off(batch*nch),
-    anchors(batch*nch*ACH)].
+    gwin(batch*nch)]; window anchors ride a second array.
     """
-    (words, total, per_block, ntok, start_f, hdr_off, anchors,
-     stored) = encode_batch_impl(
+    (words, total, per_block, ntok, start_f, hdr_off, gwin,
+     wanch, stored) = encode_batch_impl(
         data, start_block, total_len, dict_len, final_block,
         bl, batch, level, num_words, fixed_codes)
     meta = jnp.concatenate([
@@ -600,9 +613,11 @@ def encode_batch_packed(data, start_block, total_len, dict_len, final_block,
         stored.astype(jnp.int32),
         start_f.reshape(-1).astype(jnp.int32),
         hdr_off.reshape(-1).astype(jnp.int32),
-        anchors.reshape(-1).astype(jnp.int32),
+        gwin.reshape(-1).astype(jnp.int32),
     ])
-    return words, meta
+    # wanch stays a separate array: only the used prefix of each block row is
+    # read back (the d2h tunnel runs ~40 MB/s; the full buffer is ~1.3 MB)
+    return words, meta, wanch
 
 
 def words_bound(bl: int, batch: int) -> int:
@@ -611,32 +626,42 @@ def words_bound(bl: int, batch: int) -> int:
     return (batch * (11 * bl + 8192 + _nch(bl) * 4200)) // 32 + 4
 
 
-def index_entries_from_meta(bl: int, batch: int, startf, hdr_off, anc,
-                            stored_h, nblocks: int, n_total: int,
+def index_entries_from_meta(bl: int, batch: int, startf, hdr_off, gwin,
+                            wanch, stored_h, nblocks: int, n_total: int,
                             base_bits: int, base_byte: int):
-    """Assemble parallel-decode index entries (bits, bytes, anchors) from one
-    batch's device meta (shared by the single-chip driver and the sharded
-    encoder; one entry per emitted sub-block)."""
+    """Assemble parallel-decode index entries (bits, bytes, window anchors)
+    from one batch's device meta (shared by the single-chip driver and the
+    sharded encoder; one entry per emitted sub-block).
+
+    wanch rows hold each block's groups back-to-back (gbase = exclusive
+    cumsum of gwin over chunks); a value of >= 2^30 marks a window entirely
+    spanned by one symbol (no symbol starts in it) -> -1 in the index."""
     nch = _nch(bl)
     CH = bl // nch
-    index_bits, index_bytes, anchors_out = [], [], []
+    index_bits, index_bytes, win_out = [], [], []
+    BIGA = 1 << 30
     for i in range(min(batch, nblocks)):
         blk_byte0 = base_byte + i * bl
         if stored_h[i]:
             index_bits.append(base_bits + int(hdr_off[i, 0]))
             index_bytes.append(blk_byte0)
-            anchors_out.append(None)
+            win_out.append(None)
             continue
         cs_list = [c for c in range(nch)
                    if startf[i, c] and blk_byte0 + c * CH < n_total]
-        for t, c in enumerate(cs_list):
-            ce = cs_list[t + 1] if t + 1 < len(cs_list) else nch
+        gbase = {}
+        acc = 0
+        for c in range(nch):
+            gbase[c] = acc
+            acc += int(gwin[i, c])
+        for c in cs_list:
+            nw = int(gwin[i, c])
+            a = wanch[i, gbase[c]:gbase[c] + nw].astype(np.int64)
+            a = np.where(a >= BIGA, np.int64(-1), a + base_bits)
             index_bits.append(base_bits + int(hdr_off[i, c]))
             index_bytes.append(blk_byte0 + c * CH)
-            alist = np.concatenate(
-                [anc[i, cc][anc[i, cc] >= 0] for cc in range(c, ce)])
-            anchors_out.append((base_bits + alist).astype(np.int64))
-    return index_bits, index_bytes, anchors_out
+            win_out.append(a)
+    return index_bits, index_bytes, win_out
 
 
 class RawDeflater:
@@ -668,17 +693,15 @@ class RawDeflater:
         if n == 0:
             if not final:
                 return b"", {"block_bits": [], "block_bytes": [],
-                             "sync_points": [], "n": 0, "anchors": []}
+                             "sync_points": [], "n": 0, "win": []}
             # empty stream: single static block with just EOB = 0x03 0x00
             return b"\x03\x00", {"block_bits": [], "block_bytes": [],
-                                 "sync_points": [], "n": 0, "anchors": []}
+                                 "sync_points": [], "n": 0, "win": []}
         dict_bytes = (dictionary or b"")[-C.WINDOW_SIZE:]
         nblocks = (n + bl - 1) // bl
         arr = np.frombuffer(data, np.uint8)
         nch = _nch(bl)
         CH = bl // nch
-        ACH = CH // 64 + 4
-
         # Fixed-shape segments: one compiled program regardless of input size.
         # Each device call sees exactly (HALO + batch*bl + PAD) bytes; the
         # segment's halo is the preceding 32 KiB of the stream (or the preset
@@ -717,7 +740,7 @@ class RawDeflater:
                 self.fixed_codes)))
 
         # Phase 2: read back and assemble
-        for b0, (words, meta) in handles:
+        for b0, (words, meta, wanch_dev) in handles:
             m = np.asarray(meta)
             total = int(m[0])
             pb = m[2:2 + batch]
@@ -727,7 +750,11 @@ class RawDeflater:
             o += batch * nch
             hdr_off = m[o:o + batch * nch].reshape(batch, nch)
             o += batch * nch
-            anc = m[o:].reshape(batch, nch, ACH)
+            gwin = m[o:o + batch * nch].reshape(batch, nch)
+            # read back only the used prefix of each block's anchor row
+            used = int(gwin.sum(axis=1).max()) if gwin.size else 0
+            used = min(max(used, 1), wanch_dev.shape[1])
+            wanch = np.asarray(wanch_dev[:, :used])
             # transfer only the produced words (the static bound is ~2x the
             # typical output; d2h runs ~40 MB/s over the axon tunnel)
             total_w = min((total + 31) // 32 + 1, nw)
@@ -737,8 +764,8 @@ class RawDeflater:
                 wb = np.asarray(words).view(np.uint8)  # little-endian words
             base_bits = len(out) * 8
             ib, iy, ia = index_entries_from_meta(
-                bl, batch, startf, hdr_off, anc, stored_h, nblocks - b0, n,
-                base_bits, b0 * bl)
+                bl, batch, startf, hdr_off, gwin, wanch, stored_h,
+                nblocks - b0, n, base_bits, b0 * bl)
             index_bits += ib
             index_bytes += iy
             anchors_out += ia
@@ -748,8 +775,13 @@ class RawDeflater:
                 # sync flush: 3 zero bits (BFINAL=0, BTYPE=00) + pad + 00 00 ff ff
                 out += wb[: (total + 3 + 7) // 8].tobytes()
                 out += b"\x00\x00\xff\xff"
+                # pad to 4-byte alignment with empty stored blocks so every
+                # batch's bit offsets are word-aligned — the walk kernel's
+                # 32-bit window grid (ops/walk.py) requires the stream's u32
+                # word view to agree with the encoder's local word view
+                out += b"\x00\x00\x00\xff\xff" * ((-len(out)) % 4)
                 sync_points.append(len(out))
         index = {"block_bits": index_bits, "block_bytes": index_bytes,
                  "sync_points": sync_points, "n": n,
-                 "anchors": anchors_out}
+                 "win": anchors_out}
         return bytes(out), index

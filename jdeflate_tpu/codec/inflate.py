@@ -139,6 +139,101 @@ def _assemble_pallas(o_len, o_lit, o_dist, halo, out_cap: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "npe", "ne", "out_cap", "use_pallas"))
+def decode_batch_windows(words, pe_word0, pe_tab, alanes, ll, dl, halo,
+                         npe: int, ne: int, out_cap: int,
+                         use_pallas: bool = False):
+    """Window-parallel decode: one lane per 32-bit stream window, exact
+    entry points from the index's window anchors (ops/walk.py design).
+
+    words: (W,) u32 batch word window (>= 8 pad words past the last lane).
+    pe_word0: (npe,) i32 first stream word of each pseudo-entry (1024 lanes).
+    pe_tab: (npe,) i32 tree id per pseudo-entry.
+    alanes: (npe, PE) i32 per-lane anchor bits (window-local stream bits,
+      relative to the word window), -1 for empty/padding lanes.
+    ll/dl: (ne, 288)/(ne, 32) code lengths per tree.
+    Returns (out (out_cap,) u8, produced, err, next_halo).
+    """
+    from ..ops import walk as wk
+
+    PE = wk.PE_LANES
+    t1, t2a, t2b, t2c = wk.build_entry_tables(ll, dl)
+
+    def rows(tab):
+        p = jnp.take(tab, pe_tab, axis=0)                      # (npe, 128)
+        return jnp.broadcast_to(
+            p[:, None, :], (npe, wk.PE_ROWS, 128)).reshape(-1, 128)
+
+    t1r, t2ar, t2br, t2cr = rows(t1), rows(t2a), rows(t2b), rows(t2c)
+    seg = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(words, (s,), (PE + 8,)))(
+        jnp.maximum(pe_word0, 0))
+    seg0 = seg[:, 0:PE].reshape(-1, 128)
+    seg1 = seg[:, 1:PE + 1].reshape(-1, 128)
+    seg2 = seg[:, 2:PE + 2].reshape(-1, 128)
+    lanebit = (jnp.maximum(pe_word0, 0)[:, None]
+               + jnp.arange(PE, dtype=jnp.int32)[None, :]) * 32
+    start_rel = jnp.where(alanes >= 0, alanes - lanebit, -1).astype(jnp.int32)
+    nrows = npe * wk.PE_ROWS
+
+    if use_pallas:
+        tok, meta = wk.walk_tpu(seg0, seg1, seg2,
+                                start_rel.reshape(-1, 128),
+                                t1r, t2ar, t2br, t2cr, nrows)
+        tok_lm = wk.tok_to_lane_major(tok, nrows)              # (L, S)
+        metaf = meta.reshape(npe, PE)
+        err_l = (metaf >> 21) & 1
+        eobf = ((metaf >> 22) & 1) > 0
+        posf = (metaf >> 23) & 0xFF
+    else:
+        toks, outlen, cnt, err, posr, eobr = wk.walk_ref(
+            seg0.reshape(-1).astype(jnp.uint32),
+            seg1.reshape(-1).astype(jnp.uint32),
+            seg2.reshape(-1).astype(jnp.uint32),
+            start_rel.reshape(-1), t1r, t2ar, t2br, t2cr)
+        tok_lm = wk.ref_tok_to_lane_major(toks)
+        err_l = err.astype(jnp.int32).reshape(npe, PE)
+        eobf = eobr.reshape(npe, PE)
+        posf = posr.reshape(npe, PE)
+    # exit-chain validation (the structural check corruption cannot dodge:
+    # every lane's final bit position must be exactly the next lane's anchor
+    # — the windowed analog of the reference decoder's symbol-lattice
+    # consistency; cf. anchored end-anchor check above)
+    BIGV = np.int32(1 << 29)
+    active = start_rel >= 0
+    sabs = jnp.where(active, lanebit + start_rel, BIGV)
+    exit_abs = lanebit + posf
+    nxt_in = jnp.flip(jax.lax.cummin(jnp.flip(sabs, 1), axis=1), 1)
+    nxt_in = jnp.concatenate(
+        [nxt_in[:, 1:], jnp.full((npe, 1), BIGV, jnp.int32)], 1)
+    head = jnp.min(sabs, axis=1)                               # (npe,)
+    same_ent = jnp.concatenate(
+        [pe_tab[1:] == pe_tab[:-1], jnp.zeros(1, bool)])
+    nxt_head = jnp.where(
+        same_ent, jnp.concatenate([head[1:], jnp.full(1, BIGV, jnp.int32)]),
+        BIGV)
+    nxt = jnp.minimum(nxt_in, nxt_head[:, None])
+    chain_bad = active & ~eobf & (exit_abs != nxt)
+    err_w = jnp.sum(err_l) + jnp.sum(chain_bad.astype(jnp.int32))
+
+    o_tok = tok_lm.reshape(-1)
+    kind = (o_tok >> 30).astype(jnp.int32)
+    o_len = jnp.where(kind == wk.TOK_LIT, 1,
+                      jnp.where(kind == wk.TOK_MATCH,
+                                (o_tok & 0x1FF).astype(jnp.int32), 0))
+    o_lit = jnp.where(kind == wk.TOK_LIT,
+                      (o_tok & 0xFF).astype(jnp.int32), 0)
+    o_dist = jnp.where(kind == wk.TOK_MATCH,
+                       ((o_tok >> 9) & 0x7FFF).astype(jnp.int32) + 1, 0)
+    out, produced, aerr = _assemble_output(o_len, o_lit, o_dist, halo,
+                                           out_cap)
+    cat = jnp.concatenate([halo, out[:out_cap]])
+    nwin = jax.lax.dynamic_slice(
+        cat, (jnp.clip(produced, 0, out_cap),), (HALO,))
+    return out, produced, err_w + aerr, nwin
+
+
+@functools.partial(jax.jit, static_argnames=(
     "lanes", "nblocks", "out_cap", "use_pallas"))
 def decode_batch_anchored(words, tb, starts, ends, ll, dl, halo,
                           lanes: int, nblocks: int, out_cap: int,
@@ -246,7 +341,7 @@ class RawInflater:
             "block_bytes": [r.out_offset for r in recs],
             "sync_points": [],
             "n": len(out),
-            "anchors": [r.anchors if r.btype != 0 else None for r in recs],
+            "win": [r.win_anchors if r.btype != 0 else None for r in recs],
             "end_bit": endbit,
         }
 
@@ -372,13 +467,44 @@ class RawInflater:
                 ll[t, :len(lla)] = lla
                 dla = recs[k].dist_lengths
                 dl[t, :len(dla)] = dla
+            win_lists = index.get("win")
+            have_win = win_lists is not None and all(
+                win_lists[k] is not None for k in run)
             anchors = index.get("anchors")
             have_anchors = anchors is not None and all(
                 anchors[k] is not None for k in run)
             dense_args = (words, jnp.int32(bit_local), jnp.asarray(starts),
                           jnp.asarray(syms), jnp.asarray(ends),
                           jnp.asarray(ll), jnp.asarray(dl))
-            if have_anchors:
+            if have_win:
+                from ..ops import walk as wk
+                PE = wk.PE_LANES
+                pe_word0, pe_tab, al_rows = [], [], []
+                for t, k in enumerate(run):
+                    wa = np.asarray(win_lists[k], np.int64)
+                    w0 = (int(wa[0]) >> 5) - word_lo
+                    rel = np.where(wa >= 0, wa - word_lo * 32,
+                                   -1).astype(np.int32)
+                    for p in range(0, len(wa), PE):
+                        ch = rel[p:p + PE]
+                        pe_word0.append(w0 + p)
+                        pe_tab.append(t)
+                        row = np.full(PE, -1, np.int32)
+                        row[:len(ch)] = ch
+                        al_rows.append(row)
+                npe = _bucket(len(pe_word0), 8)
+                pad = npe - len(pe_word0)
+                pe_word0 += [0] * pad
+                pe_tab += [0] * pad
+                al_rows += [np.full(PE, -1, np.int32)] * pad
+                use_pallas = jax.default_backend() != "cpu"
+                o, produced, err, win = decode_batch_windows(
+                    words, jnp.asarray(np.asarray(pe_word0, np.int32)),
+                    jnp.asarray(np.asarray(pe_tab, np.int32)),
+                    jnp.asarray(np.stack(al_rows)),
+                    jnp.asarray(ll), jnp.asarray(dl), win,
+                    npe, nb, oc, use_pallas)
+            elif have_anchors:
                 lane_tb, lane_s, lane_e = [], [], []
                 lane_block_start = []
                 wbase = word_lo << 5

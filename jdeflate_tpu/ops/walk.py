@@ -224,40 +224,43 @@ def walk_ref(seg0, seg1, seg2, start_rel, t1, t2a, t2b, t2c):
     seg0/1/2: (L,) u32 — lane words w, w+1, w+2.
     start_rel: (L,) i32 first-symbol bit within the lane word (< 32); < 0
       marks an inactive (padding) lane.
-    t1/t2a/t2b/t2c: (L, 128) i32 per-lane table rows (replicated per tree).
+    t1/t2a/t2b/t2c: (ceil(L/128), 128) i32 per-ROW table rows (all 128 lanes
+    of a row share one tree — same contract as the kernel's tile operands).
     Returns (tok (S, L) u32, outlen (L,), count (L,), err (L,) bool).
     """
     L = seg0.shape[0]
     lane = jnp.arange(L, dtype=jnp.int32)
+    rowbase = (lane >> 7) * 128
     t1f = t1.reshape(-1)
     t2f = [t2a.reshape(-1), t2b.reshape(-1), t2c.reshape(-1)]
 
     def t1g(idx):
-        return t1f[lane * 128 + idx]
+        return t1f[rowbase + idx]
 
     def t2g(kind, idx):
-        return t2f[kind][lane * 128 + idx]
+        return t2f[kind][rowbase + idx]
 
     def step(carry, _):
-        pos, active, outlen, cnt, err = carry
+        pos, active, outlen, cnt, err, eobf = carry
         tok, nbits, ol, e, eob = _decode_step(
             seg0, seg1, seg2, jnp.maximum(pos, 0), t1g, t2g, active)
         pos2 = pos + jnp.where(active, nbits, 0)
         outlen = outlen + ol
         cnt = cnt + (active & ~eob & ~e).astype(jnp.int32)
         err = err | e
+        eobf = eobf | (active & eob)
         active = active & ~eob & ~e & (pos2 < K_BITS)
-        return (pos2, active, outlen, cnt, err), tok
+        return (pos2, active, outlen, cnt, err, eobf), tok
 
     active0 = (start_rel >= 0) & (start_rel < K_BITS)
     init = (jnp.where(active0, start_rel, 0), active0,
             jnp.zeros(L, jnp.int32), jnp.zeros(L, jnp.int32),
-            jnp.zeros(L, jnp.bool_))
-    (pos, active, outlen, cnt, err), toks = jax.lax.scan(
+            jnp.zeros(L, jnp.bool_), jnp.zeros(L, jnp.bool_))
+    (pos, active, outlen, cnt, err, eobf), toks = jax.lax.scan(
         step, init, None, length=S_SLOTS)
     # a lane still active after S_SLOTS steps decoded a sub-1-bit symbol
     # stream — impossible; treat as error
-    return toks, outlen, cnt, err | active
+    return toks, outlen, cnt, err | active, pos, eobf
 
 
 def _walk_kernel(t1_ref, t2a_ref, t2b_ref, t2c_ref, seg0_ref, seg1_ref,
@@ -283,28 +286,35 @@ def _walk_kernel(t1_ref, t2a_ref, t2b_ref, t2c_ref, seg0_ref, seg1_ref,
 
     active0 = (start >= 0) & (start < K_BITS)
 
+    # Mosaic cannot carry i1 vectors through scf.while — masks ride as i32
     def cond(c):
-        s, pos, active, outlen, cnt, err = c
-        return (s < S_SLOTS) & jnp.any(active)
+        s, pos, active, outlen, cnt, err, eobf = c
+        return (s < S_SLOTS) & (jnp.max(active) > 0)
 
     def body(c):
-        s, pos, active, outlen, cnt, err = c
+        s, pos, active, outlen, cnt, err, eobf = c
+        act = active > 0
         tok, nbits, ol, e, eob = _decode_step(
-            s0, s1, s2, jnp.maximum(pos, 0), t1g, t2g, active)
+            s0, s1, s2, jnp.maximum(pos, 0), t1g, t2g, act)
         tok_ref[pl.ds(s * R, R), :] = tok
-        pos2 = pos + jnp.where(active, nbits, 0)
+        pos2 = pos + jnp.where(act, nbits, 0)
         outlen = outlen + ol
-        cnt = cnt + (active & ~eob & ~e).astype(jnp.int32)
-        err = err | e
-        active = active & ~eob & ~e & (pos2 < K_BITS)
-        return s + 1, pos2, active, outlen, cnt, err
+        cnt = cnt + (act & ~eob & ~e).astype(jnp.int32)
+        err = err | e.astype(jnp.int32)
+        eobf = eobf | (act & eob).astype(jnp.int32)
+        active = (act & ~eob & ~e & (pos2 < K_BITS)).astype(jnp.int32)
+        return s + 1, pos2, active, outlen, cnt, err, eobf
 
-    init = (jnp.int32(0), jnp.where(active0, start, 0), active0,
-            jnp.zeros((R, 128), jnp.int32), jnp.zeros((R, 128), jnp.int32),
-            jnp.zeros((R, 128), jnp.bool_))
-    s, pos, active, outlen, cnt, err = jax.lax.while_loop(cond, body, init)
+    z = jnp.zeros((R, 128), jnp.int32)
+    init = (jnp.int32(0), jnp.where(active0, start, 0),
+            active0.astype(jnp.int32), z, z, z, z)
+    s, pos, active, outlen, cnt, err, eobf = jax.lax.while_loop(
+        cond, body, init)
+    # meta pack: outlen[0:15] | cnt[15:21] | err[21] | eob[22] | posf[23:31]
     meta_ref[:, :] = (outlen | (cnt << 15)
-                      | ((err | active).astype(jnp.int32) << 22))
+                      | ((err | active) << 21)
+                      | (eobf << 22)
+                      | (jnp.clip(pos, 0, 255) << 23))
 
 
 @functools.partial(jax.jit, static_argnames=("nrows",))

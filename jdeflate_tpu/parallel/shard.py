@@ -57,22 +57,23 @@ def encode_sharded(data_sh, shard_lens, dict_lens, final_blocks,
     """
 
     def body(d, n, dl, fin):
-        (words, total, per_block, _, start_f, hdr_off, anchors,
-         stored) = De.encode_batch_impl(
+        (words, total, per_block, _, start_f, hdr_off, gwin,
+         wanch, stored) = De.encode_batch_impl(
             d[0], jnp.int32(0), n[0], dl[0], fin[0],
             bl, bpd, level, num_words)
         # (a) all-gather per-shard bit lengths over ICI
         lens = jax.lax.all_gather(total, DP_AXIS)
         return (words[None], total[None], per_block[None], lens[None],
                 start_f[None].astype(jnp.int32), hdr_off[None],
-                anchors[None], stored[None].astype(jnp.int32))
+                gwin[None], wanch[None], stored[None].astype(jnp.int32))
 
     return shard_map(
         body, mesh=mesh,
         in_specs=(P(DP_AXIS, None), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS)),
         out_specs=(P(DP_AXIS, None), P(DP_AXIS), P(DP_AXIS, None),
                    P(DP_AXIS, None), P(DP_AXIS, None, None),
-                   P(DP_AXIS, None, None), P(DP_AXIS, None, None, None),
+                   P(DP_AXIS, None, None), P(DP_AXIS, None, None),
+                   P(DP_AXIS, None, None),
                    P(DP_AXIS, None)),
         check_vma=False)(data_sh, shard_lens, dict_lens, final_blocks)
 
@@ -152,8 +153,8 @@ class ShardedDeflater:
             data_sh = jax.device_put(
                 jnp.asarray(buf),
                 jax.sharding.NamedSharding(self.mesh, P(DP_AXIS, None)))
-            (words, totals, per_block, _, start_f, hdr_off, anchors,
-             stored) = encode_sharded(
+            (words, totals, per_block, _, start_f, hdr_off, gwin,
+             wanch, stored) = encode_sharded(
                 data_sh, jnp.asarray(lens), jnp.asarray(dls),
                 jnp.asarray(fins), self.mesh, bl, bpd, self.level, nw)
             crcs, adlers = checksums_sharded(
@@ -164,7 +165,8 @@ class ShardedDeflater:
             ah = np.asarray(adlers)
             sf = np.asarray(start_f)
             ho = np.asarray(hdr_off)
-            an = np.asarray(anchors)
+            gw = np.asarray(gwin)
+            an = np.asarray(wanch)
             st = np.asarray(stored)
             for k in range(d):
                 ln = int(lens[k])
@@ -180,10 +182,11 @@ class ShardedDeflater:
                     out += H.emit_gzip_trailer(int(ch[k]), ln)
                     nblk = (ln + bl - 1) // bl
                     ib, iy, ia = De.index_entries_from_meta(
-                        bl, bpd, sf[k], ho[k], an[k], st[k], nblk, ln, 0, 0)
+                        bl, bpd, sf[k], ho[k], gw[k], an[k], st[k], nblk,
+                        ln, 0, 0)
                     members.append((mstart, len(out) - mstart, ln,
                                     {"block_bits": ib, "block_bytes": iy,
-                                     "anchors": ia, "sync_points": [],
+                                     "win": ia, "sync_points": [],
                                      "n": ln, "header_len": len(hdr)}))
                 else:
                     final = done + ln >= n

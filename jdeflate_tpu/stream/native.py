@@ -128,7 +128,8 @@ def inflate(raw: bytes, dictionary: bytes = b"", start_bit: int = 0,
             meta = np.zeros((metacap, _META_FIELDS), np.int64)
             lenscap = metacap * 320
             lens = np.zeros(lenscap, np.uint8)
-            anchcap = out_cap // 64 + metacap + 64
+            # window anchors: one slot per 32 stream bits (+ per-block slack)
+            anchcap = len(raw) // 4 + metacap * 4 + 64
             anch = np.zeros(anchcap, np.int64)
             nanch = ctypes.c_size_t(0)
             r = lib.jd_inflate(
@@ -174,7 +175,7 @@ def inflate(raw: bytes, dictionary: bytes = b"", start_bit: int = 0,
                 ll = dl = None
             rec = BlockRecord(bit, btype, bool(bfinal), out_off,
                               out_len, sym_bit, ll, dl)
-            rec.anchors = (anch[anch_off:anch_off + n_anch].copy()
-                           if btype != 0 and anch_off >= 0 else None)
+            rec.win_anchors = (anch[anch_off:anch_off + n_anch].copy()
+                               if btype != 0 and anch_off >= 0 else None)
             records.append(rec)
     return dst[:int(dstlen.value)].tobytes(), records, int(endbit.value)

@@ -411,15 +411,24 @@ int jd_inflate(const u8* src, size_t srclen, i64 start_bit,
           lens_used += hlit + hdist;
         }
       }
-      // symbol loop
-      i64 nsym = 0;
+      // symbol loop; window anchors: for every 32-bit window of the grid
+      // anchored at sym_bit & ~31, the bit offset of the first symbol
+      // starting in it (-1 if one symbol spans the whole window) — the
+      // walk-kernel lane entry points (ops/walk.py)
+      i64 org = bm.sym_bit & ~(i64) 31;
       if (anchors) bm.anch_off = (i64) anch_used;
       for (;;) {
-        nsym++;
-        if (anchors && nsym > 64 && ((nsym - 1) & 63) == 0
-            && anch_used < anchcap) {
-          anchors[anch_used++] = br.bit_position();
-          bm.n_anch++;
+        if (anchors) {
+          i64 b = br.bit_position();
+          i64 w = (b - org) >> 5;
+          while (bm.n_anch < w && anch_used < anchcap) {
+            anchors[anch_used++] = -1;
+            bm.n_anch++;
+          }
+          if (bm.n_anch == w && anch_used < anchcap) {
+            anchors[anch_used++] = b;
+            bm.n_anch++;
+          }
         }
         int s = lit.decode(br);
         if (s < 0) return s;

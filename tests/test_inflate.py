@@ -113,10 +113,16 @@ def test_incomplete_single_code_dist_tree_allowed():
 
 
 def test_device_detects_corruption(corpus, dec):
+    """Structural corruption must raise, never return garbage. (Flips that
+    turn one valid code into another equally-valid code of the same length
+    are undetectable at the raw-DEFLATE level — zlib returns wrong bytes
+    silently for those too; the zstrm checksums catch them. So corrupt a
+    block HEADER, which always breaks structure.)"""
     data = corpus("text", 12000)
     raw, idx = RawDeflater(level=6, block_size=4096, batch=1).compress(data)
     bad = bytearray(raw)
-    bad[len(bad) // 2] ^= 0xFF
+    hdr_byte = (idx["block_bits"][1] >> 3) + 1   # inside block 1's header
+    bad[hdr_byte] ^= 0xFF
     with pytest.raises(errors.JDeflateError):
         dec.decompress(bytes(bad), index=idx)
 
@@ -146,13 +152,13 @@ class TestForeignIndexedDecode:
         index = dec.build_index(raw)
         assert index["n"] == len(data)
         assert len(index["block_bits"]) >= 1
-        # anchors present for huffman blocks of meaningful size
-        assert any(a is not None and len(a) > 0 for a in index["anchors"])
+        # window anchors present for huffman blocks of meaningful size
+        assert any(a is not None and len(a) > 0 for a in index["win"])
         out = dec.decompress(raw, index=index)
         assert out == data
 
     def test_zlib_indexed_no_fallback(self, corpus):
-        """The anchored device path must succeed (err == 0), not fall back."""
+        """The windowed device path must succeed (err == 0), not fall back."""
         import zlib
         from jdeflate_tpu.codec import inflate as I
         data = corpus("text", 1 << 20)
@@ -160,16 +166,16 @@ class TestForeignIndexedDecode:
         dec = RawInflater()
         index = dec.build_index(raw)
         stats = []
-        orig = I.decode_batch_anchored
+        orig = I.decode_batch_windows
         def spy(*a, **k):
             r = orig(*a, **k)
             stats.append((int(r[1]), int(r[2])))
             return r
-        I.decode_batch_anchored = spy
+        I.decode_batch_windows = spy
         try:
             out = dec.decompress(raw, index=index)
         finally:
-            I.decode_batch_anchored = orig
+            I.decode_batch_windows = orig
         assert out == data
         assert stats and all(err == 0 for _, err in stats)
 

@@ -57,14 +57,16 @@ def _walk_block(raw, rec, prev_out):
                          -1).astype(np.int32)
     assert ((start_rel < 32) | (anchors < 0)).all()
 
-    t1r = jnp.broadcast_to(t1, (L, 128))
-    t2ar = jnp.broadcast_to(t2a, (L, 128))
-    t2br = jnp.broadcast_to(t2b, (L, 128))
-    t2cr = jnp.broadcast_to(t2c, (L, 128))
-    toks, outlen, cnt, err = walk.walk_ref(
+    R = -(-L // 128)
+    t1r = jnp.broadcast_to(t1, (R, 128))
+    t2ar = jnp.broadcast_to(t2a, (R, 128))
+    t2br = jnp.broadcast_to(t2b, (R, 128))
+    t2cr = jnp.broadcast_to(t2c, (R, 128))
+    toks, outlen, cnt, err, posf, eobf = walk.walk_ref(
         jnp.asarray(seg0), jnp.asarray(seg1), jnp.asarray(seg2),
         jnp.asarray(start_rel), t1r, t2ar, t2br, t2cr)
     assert not bool(np.asarray(err).any()), "walk flagged errors"
+    assert bool(np.asarray(eobf).any()), "no lane decoded the EOB"
     toks_lm = np.asarray(walk.ref_tok_to_lane_major(toks))
     return _expand_tokens(toks_lm, np.asarray(cnt), prev_out)
 
