@@ -140,7 +140,7 @@ def _assemble_pallas(o_len, o_lit, o_dist, halo, out_cap: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "npe", "ne", "out_cap", "use_pallas"))
-def decode_batch_windows(words, pe_word0, pe_tab, alanes, ll, dl, halo,
+def decode_batch_windows(words, pe_word0, pe_tab, alanes, ll, dl, halo, hist,
                          npe: int, ne: int, out_cap: int,
                          use_pallas: bool = False):
     """Window-parallel decode: one lane per 32-bit stream window, exact
@@ -216,17 +216,33 @@ def decode_batch_windows(words, pe_word0, pe_tab, alanes, ll, dl, halo,
     chain_bad = active & ~eobf & (exit_abs != nxt)
     err_w = jnp.sum(err_l) + jnp.sum(chain_bad.astype(jnp.int32))
 
-    o_tok = tok_lm.reshape(-1)
-    kind = (o_tok >> 30).astype(jnp.int32)
-    o_len = jnp.where(kind == wk.TOK_LIT, 1,
-                      jnp.where(kind == wk.TOK_MATCH,
-                                (o_tok & 0x1FF).astype(jnp.int32), 0))
-    o_lit = jnp.where(kind == wk.TOK_LIT,
-                      (o_tok & 0xFF).astype(jnp.int32), 0)
-    o_dist = jnp.where(kind == wk.TOK_MATCH,
-                       ((o_tok >> 9) & 0x7FFF).astype(jnp.int32) + 1, 0)
-    out, produced, aerr = _assemble_output(o_len, o_lit, o_dist, halo,
-                                           out_cap)
+    kind2 = (tok_lm >> 30).astype(jnp.int32)                   # (L, S)
+    len2 = jnp.where(kind2 == wk.TOK_LIT, 1,
+                     jnp.where(kind2 == wk.TOK_MATCH,
+                               (tok_lm & 0x1FF).astype(jnp.int32), 0))
+    dist2 = jnp.where(kind2 == wk.TOK_MATCH,
+                      ((tok_lm >> 9) & 0x7FFF).astype(jnp.int32) + 1, 0)
+    outlen = jnp.sum(len2, axis=1)
+    # far-offset validation (INFLT_EFAROFFSET analog, inflator.c:1233-1237):
+    # a match may not reach past the available history
+    laneoff = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(outlen)])[:-1]
+    off_in = laneoff[:, None] + jnp.cumsum(len2, axis=1) - len2
+    far = (kind2 == wk.TOK_MATCH) & (dist2 > off_in + hist)
+    err_w = err_w + jnp.sum(far.astype(jnp.int32))
+
+    if use_pallas:
+        from ..ops import expand2 as ex2
+        tok_ann = wk.annotate_lit_runs(tok_lm)
+        out, produced = ex2.expand_tokens(tok_ann, outlen, halo, out_cap)
+        aerr = (produced > out_cap).astype(jnp.int32)
+    else:
+        o_len = len2.reshape(-1)
+        o_lit = jnp.where(kind2 == wk.TOK_LIT,
+                          (tok_lm & 0xFF).astype(jnp.int32), 0).reshape(-1)
+        out, produced, aerr = _assemble_output(o_len, o_lit,
+                                               dist2.reshape(-1), halo,
+                                               out_cap)
     cat = jnp.concatenate([halo, out[:out_cap]])
     nwin = jax.lax.dynamic_slice(
         cat, (jnp.clip(produced, 0, out_cap),), (HALO,))
@@ -498,11 +514,13 @@ class RawInflater:
                 pe_tab += [0] * pad
                 al_rows += [np.full(PE, -1, np.int32)] * pad
                 use_pallas = jax.default_backend() != "cpu"
+                hist = jnp.int32(min(
+                    block_bytes[i] + len(dictionary), 1 << 30))
                 o, produced, err, win = decode_batch_windows(
                     words, jnp.asarray(np.asarray(pe_word0, np.int32)),
                     jnp.asarray(np.asarray(pe_tab, np.int32)),
                     jnp.asarray(np.stack(al_rows)),
-                    jnp.asarray(ll), jnp.asarray(dl), win,
+                    jnp.asarray(ll), jnp.asarray(dl), win, hist,
                     npe, nb, oc, use_pallas)
             elif have_anchors:
                 lane_tb, lane_s, lane_e = [], [], []

@@ -36,16 +36,16 @@ I.decode_batch_windows = orig
 if out != data:
     sys.exit(1)
 
-(words, pe_word0, pe_tab, alanes, ll, dl, win), kw = calls[0][0][:7], calls[0][1]
 args = calls[0][0]
-words, pe_word0, pe_tab, alanes, ll, dl, win = args[:7]
-npe, nb, oc, up = args[7], args[8], args[9], args[10] if len(args) > 10 else True
+words, pe_word0, pe_tab, alanes, ll, dl, win, hist = args[:8]
+npe, nb, oc, up = args[8], args[9], args[10], args[11]
 print("npe", npe, "ne", nb, "oc", oc, "use_pallas", up, flush=True)
 
 def mk(salt):
     return (words, pe_word0 + 0 * salt, pe_tab, alanes, ll, dl, win)
 def st(w, p0, pt, al, l_, d_, wn):
-    return I.decode_batch_windows(w, p0, pt, al, l_, d_, wn, npe, nb, oc, up)
+    return I.decode_batch_windows(w, p0, pt, al, l_, d_, wn, hist,
+                                  npe, nb, oc, up)
 t = measure(mk, st, iters=4)
 print(f"TRUE decode_batch_windows: {t*1e3:.1f} ms for {oc} out "
       f"-> {oc/t/1e9:.2f} GB/s", flush=True)
