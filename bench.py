@@ -11,8 +11,10 @@ bench_details.json.
 Transfer context (measured 2026-08-21): the axon tunnel moves ~40 MB/s each
 way and the first device->host read drops the process into synchronous
 per-dispatch mode (~25 ms/call), so wall-clock GB/s here is dominated by
-host<->device transfer of the corpus itself; decode_device_ms reports the
-device-compute time of the main decode program separately.
+host<->device transfer of the corpus itself; decode_device_ms /
+encode_device_ms report true device-compute time of the main programs
+separately (distinct-input cycling harness, scripts/devtime.py), and the
+wall headline is best-of-3.
 """
 from __future__ import annotations
 
@@ -113,6 +115,72 @@ def oracle_size(oracle, data: bytes, level: int):
     return out
 
 
+def _device_times(data: bytes, enc, dec, n: int) -> dict:
+    """decode_device_ms / encode_device_ms via distinct-input cycling."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from devtime import measure_cycled
+    import jax
+    import jax.numpy as jnp
+    from jdeflate_tpu.codec import inflate as I
+    from jdeflate_tpu.codec import deflate as De
+
+    d2 = bytearray(data)
+    for p in range(100, len(d2), 8192):
+        d2[p] ^= 1
+    variants = [data, bytes(d2)]
+
+    dec_sets = []
+    dec_statics = None
+    enc_sets = []
+    enc_statics = None
+    for v in variants:
+        calls = []
+        orig = I.decode_batch_windows
+        I.decode_batch_windows = lambda *a, **k: (calls.append(a),
+                                                  orig(*a, **k))[1]
+        ecalls = []
+        eorig = De.encode_batch_packed
+        De.encode_batch_packed = lambda *a, **k: (ecalls.append((a, k)),
+                                                  eorig(*a, **k))[1]
+        try:
+            raw, idx = enc.compress(v)
+            out = dec.decompress(raw, index=idx)
+        finally:
+            I.decode_batch_windows = orig
+            De.encode_batch_packed = eorig
+        if out != v or not calls or not ecalls:
+            return {"device_time_error": "capture failed"}
+        a = calls[0]
+        dec_sets.append(a[:8])
+        dec_statics = tuple(a[8:12])
+        ea = ecalls[0][0]
+        enc_sets.append(ea[:5])
+        enc_statics = tuple(ea[5:])
+    if any(x.shape != y.shape for x, y in zip(dec_sets[0], dec_sets[1])):
+        return {"device_time_error": "bucket mismatch between variants"}
+
+    npe, ne, oc, up = dec_statics
+
+    def dstage(w, p0, pt, al, l_, d_, wn, h):
+        return I.decode_batch_windows(w, p0, pt, al, l_, d_, wn, h,
+                                      npe, ne, oc, up)
+    t_dec = measure_cycled(dec_sets, dstage, iters=4)
+
+    def estage(dv, sb, tl, dl_, fb):
+        return De.encode_batch_packed(dv, sb, tl, dl_, fb, *enc_statics)
+    t_enc = measure_cycled(enc_sets, estage, iters=4)
+
+    return {
+        "decode_device_ms": round(t_dec * 1e3, 3),      # per decode batch
+        "decode_device_batch_out": int(oc),
+        "decode_device_GBps": round(int(oc) / t_dec / 1e9, 4),
+        "encode_device_ms": round(t_enc * 1e3, 3),      # per encode segment
+        "encode_device_batch_in": enc_statics[0] * enc_statics[1],
+        "encode_device_GBps": round(
+            enc_statics[0] * enc_statics[1] / t_enc / 1e9, 4),
+    }
+
+
 def main():
     # persistent compile cache speeds later rounds
     cache = os.path.join(REPO, ".jax_cache")
@@ -140,13 +208,18 @@ def main():
     raw_w, idx_w = enc.compress(data)
     dec.decompress(raw_w, index=idx_w)
 
-    t0 = time.perf_counter()
-    raw, index = enc.compress(data)
-    enc_s = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    out = dec.decompress(raw, index=index)
-    dec_s = time.perf_counter() - t0
+    # best-of-3 wall times: the axon tunnel's sync-dispatch variance made
+    # single-shot headlines a coin flip (BENCH_r02 vs builder runs differed
+    # 3x on identical code); best-of-3 both tightens and reproduces
+    enc_s = dec_s = float("inf")
+    raw = index = out = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        raw, index = enc.compress(data)
+        enc_s = min(enc_s, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out = dec.decompress(raw, index=index)
+        dec_s = min(dec_s, time.perf_counter() - t0)
 
     ok = out == data
 
@@ -162,6 +235,15 @@ def main():
         "roundtrip_exact": ok,
         "backend": jax.devices()[0].platform,
     }
+
+    # ---- true device-compute times (distinct-input cycling harness; see
+    # scripts/devtime.py — block_until_ready is unreliable on this backend
+    # and loop-invariant stages get hoisted, so inputs must genuinely vary)
+    if jax.default_backend() != "cpu" and not SKIP_EXTRA:
+        try:
+            details.update(_device_times(data, enc, dec, n))
+        except Exception as e:
+            details["device_time_error"] = repr(e)
 
     if oracle:
         try:

@@ -1,4 +1,4 @@
-"""Token-expansion kernel v2: lane-major walk tokens -> output bytes.
+"""Token-expansion kernel v3: lane-major walk tokens -> output bytes.
 
 Consumes the window walk's lane-major token rows directly (ops/walk.py) —
 no slot sort, no literal scatter, no pointer-doubling: the decode-side
@@ -10,21 +10,21 @@ loop — literal stores and back-reference copies with the overlapping-copy
 wavefront (decodefast, /root/reference/src/inflator.c:1678-1812; copybytes
 :1213-1290).
 
-Design:
-  * tokens per lane are a prefix of S_SLOTS u32 slots (kind<<30 | fields);
-    literal runs were annotated by walk.annotate_lit_runs, so one iteration
-    copies a whole run (the run bytes ARE the token row's low bytes);
-  * the output is processed in 64 KiB regions, each staged in VMEM with the
-    32 KiB window halo (matches cross block/region boundaries exactly like
-    the reference's ring window, inflator.c:616-675); regions are processed
-    in grid order so every halo byte is final when read;
-  * a region's lanes are those whose output STARTS inside it; the last lane
-    may run past the boundary (max one lane's output), covered by slack rows
-    that the next region re-reads as part of its prefix;
-  * token rows stream through VMEM in chunks (a region can span many lanes).
-Mosaic constraints shape the code exactly as in the round-2 expand kernel:
-row(+pair) loads with dynamic sublane starts, pltpu.roll for lane shifts,
-masked row read-modify-writes for unaligned stores.
+v3 design notes (measured on v5e, scripts/jobs/39-40):
+  * token CONTROL reads ride SMEM: a dependent scalar load+arith chain runs
+    ~10 ns/step vs ~50 cycles for a dynamic-roll + vreg->sreg extract, so
+    token words are DMA'd HBM->SMEM in 512-lane chunks (a VMEM copy of the
+    same chunk supplies literal-run BYTES for vector copies);
+  * the current output row accumulates in a VECTOR REGISTER and spills to
+    VMEM once per 128 bytes — adjacent tokens otherwise serialize on
+    read-modify-writes of the same VMEM row (~16-token dependency chains);
+  * literal runs (annotated by walk.annotate_lit_runs) and match chunks
+    share one merge path: rotate a 256-wide source window into place and
+    mask-merge into the register row;
+  * the output is processed in 64 KiB regions staged in VMEM with the
+    32 KiB window halo (matches cross region boundaries exactly like the
+    reference's ring window, inflator.c:616-675); regions run in grid order
+    so halo bytes are final when read.
 """
 from __future__ import annotations
 
@@ -40,15 +40,16 @@ REGION_OUT = 1 << 16                  # output bytes per grid step
 LANE_MAX_OUT = wk.S_SLOTS * C.MAX_MATCH  # one lane's maximum output
 # stage rows: 32 alignment slack + 256 halo + 512 region + straddle, %32 == 0
 RROWS = 32 + 256 + 512 + (LANE_MAX_OUT // 128 + 2 + 30) // 32 * 32
-TCHUNK_LANES = 2048                   # token lanes DMA'd per chunk
-TROWS = TCHUNK_LANES // 4             # 4 lanes (32 slots) per 128-lane row
+TCHUNK_LANES = 512                    # token lanes per SMEM chunk
+TCH = TCHUNK_LANES * wk.S_SLOTS       # i32 tokens per chunk (16384 = 64 KiB)
 
 
-def _expand_kernel(lr_ref, regoff_ref, tok_hbm, buf_hbm, out_ref,
-                   vbuf, stage, tvm, sem_t, sem_b):
+def _expand_kernel(lr_ref, regoff_ref, tok2d_hbm, buf_hbm, out_ref,
+                   vbuf, stage, tsm, tvm, sem_t, sem_v, sem_b):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    S = wk.S_SLOTS
     r = pl.program_id(0)
     l0 = lr_ref[r]
     l1 = lr_ref[r + 1]
@@ -63,103 +64,131 @@ def _expand_kernel(lr_ref, regoff_ref, tok_hbm, buf_hbm, out_ref,
     cp_b.wait()
     vbuf[:, :] = stage[:, :].astype(jnp.int32)
 
-    lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
-    def row_pair(ref, row):
-        return jnp.concatenate(
-            [ref[pl.ds(row, 1), :], ref[pl.ds(row + 1, 1), :]], axis=1)
-
-    def fetch_chunk(cl0):
-        trow0 = pl.multiple_of(((cl0 >> 2) >> 3) << 3, 8)
+    def fetch_chunk(l):
+        cl0 = pl.multiple_of((l >> 5) << 5, 32)    # 32-lane aligned
+        row0 = (cl0 * S) >> 7
         cp_t = pltpu.make_async_copy(
-            tok_hbm.at[pl.ds(trow0, TROWS), :], tvm, sem_t)
+            tok2d_hbm.at[pl.ds(row0, TCH // 128), :], tsm, sem_t)
         cp_t.start()
+        cp_v = pltpu.make_async_copy(
+            tok2d_hbm.at[pl.ds(row0, TCH // 128 + 8), :], tvm, sem_v)
+        cp_v.start()
         cp_t.wait()
-        return trow0 << 2          # first lane resident in tvm
+        cp_v.wait()
+        return cl0
+
+    def spill(crow, curr):
+        vbuf[pl.ds(crow, 1), :] = curr
+
+    def load_row(crow):
+        return vbuf[pl.ds(crow, 1), :]
+
+    def merge(curr, crow, cursor, two, srcoff, w):
+        """Merge w (<=128) source bytes (two: (1,256) i32, window start at
+        srcoff) into the register row at output position cursor. Returns
+        (curr, crow, cursor). May spill once (w never crosses 2 rows)."""
+        doff = cursor - (crow << 7) - base         # in [0, 128)
+        w1 = jnp.minimum(w, 128 - doff)
+        rolled = pltpu.roll(two, doff - srcoff, 1)[:, :128]
+        sel = (lane1 >= doff) & (lane1 < doff + w1)
+        curr = jnp.where(sel, rolled, curr)
+        cursor = cursor + w1
+
+        def adv(args):
+            curr, crow = args
+            spill(crow, curr)
+            return load_row(crow + 1), crow + 1
+
+        curr, crow = jax.lax.cond(
+            doff + w1 >= 128, adv, lambda a: a, (curr, crow))
+        # second part (w crossed the row boundary)
+        w2 = w - w1
+        doff2 = jnp.int32(0)
+        rolled2 = pltpu.roll(two, -(srcoff + w1), 1)[:, :128]
+        sel2 = lane1 < w2
+        curr = jnp.where((w2 > 0) & sel2, rolled2, curr)
+        return curr, crow, cursor + w2
 
     def lane_body(carry):
-        l, cl0, cursor = carry
-        cl0 = jax.lax.cond(l - cl0 >= TCHUNK_LANES - 32,
+        l, cl0, cursor, crow, curr = carry
+        cl0 = jax.lax.cond(l - cl0 >= TCHUNK_LANES,
                            lambda: fetch_chunk(l), lambda: cl0)
-        lrow = (l - cl0) >> 2
-        lsub = (l & 3) * 32
-        trow = tvm[pl.ds(lrow, 1), :]
-        litrow = trow & 0xFF
+        tokbase = (l - cl0) * S
 
         def tok_cond(c):
-            s, cursor = c
-            return s < wk.S_SLOTS
+            s, cursor, crow, curr = c
+            return s < S
 
         def tok_body(c):
-            s, cursor = c
-            tok = pltpu.roll(trow, -(lsub + s), 1)[0, 0]
+            s, cursor, crow, curr = c
+            ti0 = tokbase + s
+            tok = tsm[ti0 >> 7, ti0 & 127]
             kind = (tok >> 30) & 3
 
-            def do_lit(cursor):
+            def do_lit(c2):
+                cursor, crow, curr = c2
                 cnt = (tok >> 8) & 63
-                src = pltpu.roll(litrow, -(lsub + s), 1)[:, :128]
-                doff = cursor & 127
-                wide = pltpu.roll(jnp.concatenate([src, src], 1), doff, 1)
-                sel = (lane2 >= doff) & (lane2 < doff + cnt)
-                drow = (cursor >> 7) - base_row
-                old = row_pair(vbuf, drow)
-                new = jnp.where(sel, wide, old)
-                vbuf[pl.ds(drow, 1), :] = new[:, :128]
-                vbuf[pl.ds(drow + 1, 1), :] = new[:, 128:]
-                return s + cnt, cursor + cnt
+                # lit bytes: the chunk's token words' low bytes, in VMEM
+                # (a run may cross a 128-token row: read the pair)
+                two = jnp.concatenate(
+                    [tvm[pl.ds(ti0 >> 7, 1), :],
+                     tvm[pl.ds((ti0 >> 7) + 1, 1), :]], 1) & 0xFF
+                curr, crow, cursor = merge(curr, crow, cursor, two,
+                                           ti0 & 127, cnt)
+                return s + cnt, cursor, crow, curr
 
-            def do_match(cursor):
+            def do_match(c2):
+                cursor, crow, curr = c2
                 ln = tok & 0x1FF
                 d = ((tok >> 9) & 0x7FFF) + 1
-                cur0 = cursor - base
 
                 def copy_cond(cc):
-                    written, _ = cc
+                    written, dd, cursor, crow, curr = cc
                     return written < ln
 
                 def copy_body(cc):
-                    written, dd = cc
+                    written, dd, cursor, crow, curr = cc
                     w = jnp.minimum(jnp.minimum(ln - written, 128), dd)
-                    cur = cur0 + written
-                    srcp = cur - dd
-                    two = row_pair(vbuf, srcp >> 7)
-                    chunk = pltpu.roll(two, -(srcp & 127), 1)[:, :128]
-                    doff = cur & 127
-                    wide = pltpu.roll(
-                        jnp.concatenate([chunk, chunk], 1), doff, 1)
-                    sel = (lane2 >= doff) & (lane2 < doff + w)
-                    drow = cur >> 7
-                    old = row_pair(vbuf, drow)
-                    new = jnp.where(sel, wide, old)
-                    vbuf[pl.ds(drow, 1), :] = new[:, :128]
-                    vbuf[pl.ds(drow + 1, 1), :] = new[:, 128:]
+                    srcp = cursor - base - dd
+                    srow = srcp >> 7
+                    # sources at/after the register row read the register
+                    a = jnp.where(srow == crow, curr,
+                                  vbuf[pl.ds(jnp.minimum(srow, crow), 1), :])
+                    b = jnp.where(srow + 1 == crow, curr,
+                                  vbuf[pl.ds(jnp.minimum(srow + 1, crow), 1),
+                                       :])
+                    two = jnp.concatenate([a, b], 1)
+                    curr, crow, cursor = merge(curr, crow, cursor, two,
+                                               srcp & 127, w)
                     wn = written + w
-                    # dd stays a multiple of d and <= written + d so the
-                    # source window never leaves the match's periodic region
                     dd2 = jnp.where(dd * 2 <= wn + d, dd * 2, dd)
-                    return wn, dd2
+                    return wn, dd2, cursor, crow, curr
 
-                jax.lax.while_loop(copy_cond, copy_body,
-                                   (jnp.int32(0), jnp.maximum(d, 1)))
-                return s + 1, cursor + ln
+                _, _, cursor, crow, curr = jax.lax.while_loop(
+                    copy_cond, copy_body,
+                    (jnp.int32(0), jnp.maximum(d, 1), cursor, crow, curr))
+                return s + 1, cursor, crow, curr
 
-            s2, cursor2 = jax.lax.cond(kind == wk.TOK_LIT, do_lit,
-                                       do_match, cursor)
-            # kind 0 (empty) terminates the lane
-            s2 = jnp.where(kind == 0, wk.S_SLOTS, s2)
-            cursor2 = jnp.where(kind == 0, cursor, cursor2)
-            return s2, cursor2
+            s2, cursor2, crow2, curr2 = jax.lax.cond(
+                kind == wk.TOK_LIT, do_lit, do_match, (cursor, crow, curr))
+            s2 = jnp.where(kind == 0, S, s2)    # empty slot terminates lane
+            return s2, cursor2, crow2, curr2
 
-        _, cursor = jax.lax.while_loop(tok_cond, tok_body,
-                                       (jnp.int32(0), cursor))
-        return l + 1, cl0, cursor
+        s, cursor, crow, curr = jax.lax.while_loop(
+            tok_cond, tok_body, (jnp.int32(0), cursor, crow, curr))
+        return l + 1, cl0, cursor, crow, curr
 
     def lane_cond(carry):
-        l, cl0, cursor = carry
+        l, cl0, cursor, crow, curr = carry
         return l < l1
 
-    jax.lax.while_loop(lane_cond, lane_body,
-                       (l0, fetch_chunk(l0), rs))
+    crow0 = (rs - base) >> 7
+    _, _, cursor, crow, curr = jax.lax.while_loop(
+        lane_cond, lane_body,
+        (l0, fetch_chunk(l0), rs, crow0, load_row(crow0)))
+    spill(crow, curr)
 
     stage[:, :] = vbuf[:, :].astype(jnp.uint8)
     cp_o = pltpu.make_async_copy(
@@ -181,6 +210,7 @@ def expand_tokens(tok_lm: jnp.ndarray, outlen: jnp.ndarray,
     from jax.experimental.pallas import tpu as pltpu
 
     L = tok_lm.shape[0]
+    S = wk.S_SLOTS
     nreg = -(-out_cap // REGION_OUT)
     laneoff = HALO + jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(outlen)])
@@ -188,25 +218,18 @@ def expand_tokens(tok_lm: jnp.ndarray, outlen: jnp.ndarray,
     bounds = HALO + jnp.arange(nreg + 1, dtype=jnp.int32) * REGION_OUT
     lr = jnp.searchsorted(laneoff, jnp.minimum(bounds, laneoff[L]),
                           side="left").astype(jnp.int32)
-    # a region's first lane is the one whose output contains (or starts at)
-    # the boundary; searchsorted(left) gives first lane with off >= bound —
-    # step back one when the previous lane straddles the boundary... regions
-    # partition by lane START: lane l belongs to region of laneoff[l]. The
-    # boundary between regions r/r+1 is the first lane starting at/after
-    # bounds[r+1]:
     lr = jnp.clip(lr, 0, L)
     regoff = laneoff[lr]
 
     rows_n = -(-(HALO + out_cap + LANE_MAX_OUT) // 128) + RROWS + 32
-    N = rows_n * 128
-    val = jnp.zeros(N, jnp.uint8).at[:HALO].set(halo)
+    val = jnp.zeros(rows_n * 128, jnp.uint8).at[:HALO].set(halo)
 
-    # pad token rows so any TROWS-row chunk DMA stays in bounds
-    Lpad = -(-L // 4) * 4
+    # flat token array padded so any TCH(+8 rows)-slice DMA stays in bounds
+    Lpad = -(-L // 32) * 32
     tok_i = jax.lax.bitcast_convert_type(tok_lm, jnp.int32)
-    tok_rows = jnp.zeros((Lpad // 4 + TROWS + 8, 128), jnp.int32)
-    tok_rows = tok_rows.at[:Lpad // 4, :].set(
-        jnp.pad(tok_i, ((0, Lpad - L), (0, 0))).reshape(Lpad // 4, 128))
+    tok_flat = jnp.zeros(Lpad * S + TCH + 2048, jnp.int32)
+    tok_flat = tok_flat.at[:L * S].set(tok_i.reshape(-1))
+    tok2d = tok_flat.reshape(-1, 128)
 
     out2d = pl.pallas_call(
         _expand_kernel,
@@ -214,7 +237,7 @@ def expand_tokens(tok_lm: jnp.ndarray, outlen: jnp.ndarray,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),     # lr
             pl.BlockSpec(memory_space=pltpu.SMEM),     # regoff
-            pl.BlockSpec(memory_space=pltpu.ANY),      # tokens (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),      # tokens (HBM, rows)
             pl.BlockSpec(memory_space=pltpu.ANY),      # buffer (HBM)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -222,12 +245,14 @@ def expand_tokens(tok_lm: jnp.ndarray, outlen: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((RROWS, 128), jnp.int32),
             pltpu.VMEM((RROWS, 128), jnp.uint8),
-            pltpu.VMEM((TROWS, 128), jnp.int32),
+            pltpu.SMEM((TCH // 128, 128), jnp.int32),
+            pltpu.VMEM((TCH // 128 + 8, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(lr, regoff, tok_rows, val.reshape(rows_n, 128))
+    )(lr, regoff, tok2d, val.reshape(rows_n, 128))
     out = out2d.reshape(-1)[HALO:HALO + out_cap]
     return out, produced

@@ -161,7 +161,8 @@ class ZStream:
 
     def __init__(self, mode: str, format: str = "gzip", level: int = 6,
                  dictionary: bytes | None = None, block_size: int = 1 << 16,
-                 batch: int = 16, checksum: str = "auto"):
+                 batch: int = 16, checksum: str = "auto",
+                 source_fn=None, target_fn=None):
         if mode not in ("deflate", "inflate"):
             raise errors.IncorrectUseError("mode must be 'deflate' or 'inflate'")
         if mode == "deflate" and format == "auto":
@@ -178,6 +179,17 @@ class ZStream:
         self.block_size = block_size
         self.batch = batch
         self.checksum_mode = checksum
+        # IO callback plumbing (reference TZStrmIFn/TZStrmOFn pull/push pair,
+        # zstrm.h:92-101): source_fn(nbytes)->bytes (b'' = end of input),
+        # target_fn(bytes)->None
+        self.source_fn = source_fn
+        self.target_fn = target_fn
+        self.reset()
+
+    def reset(self):
+        """Reset for reuse with the same configuration (zstrm_reset analog,
+        /root/reference/src/zstrm.c create/reset/destroy triple). Clears any
+        latched error."""
         self._buf = bytearray()
         self._out = bytearray()
         self._started = False
@@ -190,6 +202,29 @@ class ZStream:
         self._crc = 0
         self._adler = 1
         self._pending_tail = bytearray()  # encoded-but-unflushed member body
+        self._segments_tail = None
+        return self
+
+    @property
+    def crc32(self) -> int:
+        """Running CRC32 of the uncompressed data seen so far. Always
+        maintained under checksum='force' (ZSTRM_DOCRC32 analog,
+        zstrm.h:53-61, 124-125); under 'auto' only when the framing uses it."""
+        return self._crc
+
+    @property
+    def adler32(self) -> int:
+        """Running adler32 of the uncompressed data (ZSTRM_DOADLER32
+        analog)."""
+        return self._adler
+
+    def _track(self, data: bytes):
+        """Update exposed checksums for uncompressed bytes."""
+        force = self.checksum_mode == "force"
+        if force or self.format == "gzip":
+            self._crc = cs.crc32(data, self._crc)
+        if force or self.format == "zlib":
+            self._adler = cs.adler32(data, self._adler)
 
     def _check(self):
         if self._poisoned:
@@ -209,7 +244,10 @@ class ZStream:
             self._emit(H.emit_zlib_header(self.level, dictid))
 
     def _emit(self, b: bytes):
-        self._out += b
+        if self.target_fn is not None:
+            self.target_fn(bytes(b))
+        else:
+            self._out += b
         self.total_out += len(b)
 
     def write(self, data: bytes):
@@ -224,10 +262,7 @@ class ZStream:
         self._start_if_needed()
         self._buf += data
         self.total_in += len(data)
-        if self.format == "gzip":
-            self._crc = cs.crc32(data, self._crc)
-        elif self.format == "zlib":
-            self._adler = cs.adler32(data, self._adler)
+        self._track(data)
         seg = self.block_size * self.batch
         while len(self._buf) >= seg:
             chunk = bytes(self._buf[:seg])
@@ -319,17 +354,45 @@ class ZStream:
                 return                  # trailer not yet arrived
             if self._verify():
                 H.check_gzip_trailer(body[nb:nb + 8], cs.crc32(o), len(o))
-            self._out += o
+            self._track(o)
+            self._push_out(o)
             consumed = hl + nb + 8
             del self._buf[:consumed]
             self.used_input += consumed
             self.total_out += len(o)
+
+    def _push_out(self, o: bytes):
+        """Deliver decoded output (inflate side): push callback or buffer."""
+        if self.target_fn is not None:
+            self.target_fn(bytes(o))
+        else:
+            self._out += o
 
     def read(self) -> bytes:
         """Take decoded-so-far output (inflate) or encoded output (deflate)."""
         out = bytes(self._out)
         self._out.clear()
         return out
+
+    def run(self, chunk_size: int = 1 << 16) -> bytes:
+        """Drive the stream from source_fn to completion (the reference's
+        callback-pump usage pattern: zstrm_setsourcefn + settargetfn,
+        zstrm.h:92-101). Pulls chunk_size bytes per call until source_fn
+        returns b''; returns any non-callback output."""
+        self._check()
+        if self.source_fn is None:
+            raise errors.IncorrectUseError("run() requires source_fn")
+        while True:
+            data = self.source_fn(chunk_size)
+            if not data:
+                break
+            if self.mode == "deflate":
+                self.write(data)
+            else:
+                self.feed(data)
+        if self.mode == "deflate":
+            return self.flush(final=True)
+        return self.finish()
 
     def finish(self) -> bytes:
         """Decode everything fed so far and verify trailers (inflate mode).
@@ -372,7 +435,8 @@ class ZStream:
                     if self._verify():
                         H.check_zlib_trailer(data[hl + nb:hl + nb + 4],
                                              cs.adler32(o))
-                    self._out += o
+                    self._track(o)
+                    self._push_out(o)
                     self.used_input += hl + nb + 4
                     self.unused_data = data[hl + nb + 4:]
                     self.total_out += len(o)
@@ -380,7 +444,8 @@ class ZStream:
                     data = bytes(self._buf)
                     o, endbit = _seq_inflate(data, self.dictionary or b"")
                     nb = (endbit + 7) // 8
-                    self._out += o
+                    self._track(o)
+                    self._push_out(o)
                     self.used_input += nb
                     self.unused_data = data[nb:]
                     self.total_out += len(o)

@@ -20,10 +20,15 @@ dec = I.RawInflater(max_batch_bits=1 << 25, max_batch_blocks=512,
 
 sets = []
 total_out = 0
+base = B.make_corpus(n)
 for seed_shift in (0, 1):
-    data = B.make_corpus(n)
     if seed_shift:
-        data = bytes(reversed(data))
+        d2 = bytearray(base)
+        for p in range(100, len(d2), 8192):
+            d2[p] ^= 1
+        data = bytes(d2)
+    else:
+        data = base
     raw, idx = enc.compress(data)
     calls = []
     orig = I.decode_batch_windows

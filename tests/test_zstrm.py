@@ -244,3 +244,77 @@ def test_fixed_codes_flag(corpus):
     from jdeflate_tpu.stream import host_inflate as hi
     _, recs, _ = hi.inflate_raw(blob)
     assert all(r.btype != 2 for r in recs)
+
+
+class TestResetChecksumCallbacks:
+    """reset() reuse, checksum 'force' exposure, and IO callback plumbing
+    (reference zstrm_reset; ZSTRM_DOCRC32/DOADLER32 zstrm.h:53-61, 124-125;
+    TZStrmIFn/TZStrmOFn zstrm.h:92-101)."""
+
+    def test_reset_reuse(self, corpus):
+        from jdeflate_tpu.stream.zstrm import ZStream, decompress
+        z = ZStream("deflate", format="gzip", level=6)
+        a = corpus("text", 50_000)
+        z.write(a)
+        blob_a = z.flush(final=True)
+        z.reset()
+        b = corpus("binary", 30_000)
+        z.write(b)
+        blob_b = z.flush(final=True)
+        assert decompress(blob_a) == a
+        assert decompress(blob_b) == b
+        assert z.total_in == len(b)
+
+    def test_reset_clears_poison(self):
+        from jdeflate_tpu.stream.zstrm import ZStream
+        from jdeflate_tpu.utils import errors
+        z = ZStream("deflate", format="gzip")
+        with pytest.raises(errors.IncorrectUseError):
+            z.feed(b"x")                       # misuse poisons
+        with pytest.raises(errors.StreamPoisonedError):
+            z.write(b"y")
+        z.reset()
+        z.write(b"hello")
+        assert z.flush(final=True)
+
+    def test_checksum_force_exposes_both(self, corpus):
+        import zlib as _z
+        from jdeflate_tpu.stream.zstrm import ZStream
+        data = corpus("text", 40_000)
+        z = ZStream("deflate", format="raw", checksum="force")
+        z.write(data)
+        blob = z.flush(final=True)
+        assert _z.decompress(blob, -15) == data
+        assert z.crc32 == _z.crc32(data)
+        assert z.adler32 == _z.adler32(data)
+
+    def test_checksum_force_on_inflate(self, corpus):
+        import zlib as _z
+        from jdeflate_tpu.stream.zstrm import ZStream, compress
+        data = corpus("binary", 30_000)
+        blob = compress(data, format="gzip")
+        z = ZStream("inflate", format="auto", checksum="force")
+        z.feed(blob)
+        assert z.finish() == data
+        assert z.crc32 == _z.crc32(data)
+        assert z.adler32 == _z.adler32(data)
+
+    def test_io_callbacks_roundtrip(self, corpus):
+        from jdeflate_tpu.stream.zstrm import ZStream
+        data = corpus("text", 150_000)
+        src = [data[i:i + 7000] for i in range(0, len(data), 7000)]
+        pulled = iter(src + [b""])
+        sink = []
+        z = ZStream("deflate", format="gzip",
+                    source_fn=lambda n: next(pulled),
+                    target_fn=sink.append)
+        rest = z.run()
+        blob = b"".join(sink) + rest
+        out_sink = []
+        blob_parts = [blob[i:i + 9000] for i in range(0, len(blob), 9000)]
+        pulled2 = iter(blob_parts + [b""])
+        zi = ZStream("inflate", format="auto",
+                     source_fn=lambda n: next(pulled2),
+                     target_fn=out_sink.append)
+        rest2 = zi.run()
+        assert b"".join(out_sink) + rest2 == data
