@@ -62,81 +62,87 @@ _P_EXTRA = np.zeros(19, np.int32)
 _P_EXTRA[16:19] = (2, 3, 7)
 
 
-def _nch(bl: int) -> int:
+def _nch(bl: int, chunk: int = CHUNK) -> int:
     """Chunks per block (static). Blocks smaller than 2 chunks never split."""
-    return max(bl // CHUNK, 1)
+    return max(bl // chunk, 1)
 
 
-def anchors_per_chunk(bl: int) -> int:
-    return bl // _nch(bl) // 64 + 4
-
-
-def anchors_cap(bl: int) -> int:
+def anchors_cap(bl: int, chunk: int = CHUNK) -> int:
     """Window-anchor slots per block: one per 32 stream bits at the
     worst-case compressed size (<= ~8.1 bits/byte after the stored-block
     decision, plus per-sub-block header slack)."""
-    return (9 * bl + 8192 + _nch(bl) * 4200) // 32 + 8
-
-
-def _rle_runs(comb: jnp.ndarray) -> jnp.ndarray:
-    """r[j] = number of equal values at and after j within the current run."""
-    n = comb.shape[0]
-
-    def step(carry, j):
-        r_next, v_next = carry
-        v = comb[j]
-        r = jnp.where(v == v_next, r_next + 1, 1)
-        return (r, v), r
-
-    (_, _), rs = jax.lax.scan(
-        step, (jnp.int32(0), _SENT), jnp.arange(n - 1, -1, -1, dtype=jnp.int32))
-    return rs[::-1]
+    return (9 * bl + 8192 + _nch(bl, chunk) * 4200) // 32 + 8
 
 
 def _rle_emit(comb: jnp.ndarray):
-    """Forward scan producing per-position precode RLE symbols.
+    """Per-position precode RLE symbols, computed positionally (no scan).
 
-    Returns (sym, extra, emit): (n,) each; emit marks positions that output a
-    symbol; absorbed positions emit nothing.
+    Semantics identical to the reference's sequential RLE with the leave-3
+    remainder adjustment (countprecodes, src/deflator.c:1287-1354): zero runs
+    emit 17 (3-10) / 18 (11-138) with 138-units carved off long runs (a unit
+    of m-3 instead when exactly 139/140 remain, leaving a final 3); nonzero
+    runs emit the literal then 16-units of 6 (a unit of m-3 when 7/8 remain).
+    The unit boundaries of a run are a closed-form function of (value,
+    run length, offset), so every position decides independently — the
+    sequential skip-scan this replaces cost ~25 ms/MB on device.
+
+    Returns (sym, extra, emit): (n,) each.
     """
     n = comb.shape[0]
-    runs = _rle_runs(comb)
     idx = jnp.arange(n, dtype=jnp.int32)
     prev = jnp.concatenate([jnp.asarray([-1], jnp.int32), comb[:-1]])
     is_start = comb != prev
+    BIG = np.int32(1 << 20)
+    startpos = jax.lax.cummax(jnp.where(is_start, idx, -1))
+    nxt_start = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.concatenate([jnp.where(is_start, idx, BIG)[1:],
+                         jnp.full((1,), n, jnp.int32)]))))
+    r = nxt_start - startpos                   # whole-run length
+    q = idx - startpos                         # offset within run
+    v = comb
+    live = v != _SENT
 
-    def step(skip, j):
-        v = comb[j]
-        r = runs[j]
-        start = is_start[j]
-        live = (skip == 0) & (v != _SENT)
+    # ---- zero runs ----
+    # K full 138-units, then m in [3,140]: one unit (m <= 138) or (m-3, 3)
+    K = jnp.maximum(0, (r - 3) // 138)
+    m = r - 138 * K
+    zb1 = 138 * K                              # main tail unit start
+    zb2 = zb1 + m - 3                          # 3-left unit (m in 139/140)
+    z_small = r < 3                            # literals
+    z_at_full = (q < zb1) & (q % 138 == 0)
+    z_at_m = q == zb1
+    z_at_3 = (m > 138) & (q == zb2)
+    z_unit = jnp.where(z_at_full, 138,
+                       jnp.where(z_at_m, jnp.where(m > 138, m - 3, m), 3))
+    z_emit = z_small | z_at_full | z_at_m | z_at_3
+    z_sym = jnp.where(z_small, 0,
+                      jnp.where(z_unit <= 10, 17, 18))
+    z_extra = jnp.where(z_sym == 17, z_unit - 3,
+                        jnp.where(z_sym == 18, z_unit - 11, 0))
 
-        # zero runs: 17 (3-10), 18 (11-138), literals below 3; leave >=3 rest
-        zr_unit = jnp.where(r < 3, 1,
-                   jnp.where(r <= 138, r,
-                    jnp.where(r - 138 >= 3, 138, r - 3)))
-        z_sym = jnp.where(zr_unit < 3, 0, jnp.where(zr_unit <= 10, 17, 18))
-        z_extra = jnp.where(z_sym == 17, zr_unit - 3,
-                   jnp.where(z_sym == 18, zr_unit - 11, 0))
+    # ---- nonzero runs ----
+    m0 = r - 1
+    qq = q - 1
+    K6 = jnp.maximum(0, (m0 - 3) // 6)
+    m6 = m0 - 6 * K6                           # in [3, 8] when m0 >= 3
+    nb1 = 6 * K6
+    nb2 = nb1 + m6 - 3
+    n_small = m0 < 3                           # trailing literals
+    n_at_full = (qq >= 0) & (qq < nb1) & (qq % 6 == 0)
+    n_at_m = (qq == nb1) & (m0 >= 3)
+    n_at_3 = (m6 > 6) & (qq == nb2) & (m0 >= 3)
+    n_unit = jnp.where(n_at_full, 6,
+                       jnp.where(n_at_m, jnp.where(m6 > 6, m6 - 3, m6), 3))
+    n_emit = (q == 0) | (n_small & (qq >= 0)) | n_at_full | n_at_m | n_at_3
+    n_is_rep = (q > 0) & ~n_small
+    n_sym = jnp.where(n_is_rep, 16, v)
+    n_extra = jnp.where(n_is_rep, n_unit - 3, 0)
 
-        # nonzero: literal at run start; rep16 (3-6) afterwards with leave-3
-        nz_rep = ~start & (r >= 3)
-        nz_unit = jnp.where(~nz_rep, 1,
-                   jnp.where(r <= 6, r, jnp.where(r - 6 >= 3, 6, r - 3)))
-        nz_sym = jnp.where(nz_rep, 16, v)
-        nz_extra = jnp.where(nz_rep, nz_unit - 3, 0)
-
-        zero = v == 0
-        unit = jnp.where(zero, jnp.where(z_sym == 0, 1, zr_unit), nz_unit)
-        sym = jnp.where(zero, z_sym, nz_sym)
-        extra = jnp.where(zero, z_extra, nz_extra)
-
-        out = (jnp.where(live, sym, 0), jnp.where(live, extra, 0), live)
-        skip = jnp.where(live, unit - 1, jnp.maximum(skip - 1, 0))
-        return skip, out
-
-    _, (sym, extra, emit) = jax.lax.scan(step, jnp.int32(0), idx)
-    return sym, extra, emit
+    zero = v == 0
+    sym = jnp.where(zero, z_sym, n_sym)
+    extra = jnp.where(zero, z_extra, n_extra)
+    emit = jnp.where(zero, z_emit, n_emit) & live
+    return (jnp.where(emit, sym, 0), jnp.where(emit, extra, 0), emit)
 
 
 def _block_entropy(lfreq, dfreq, live, cfg: levels_mod.LevelConfig,
@@ -229,7 +235,7 @@ def _block_entropy(lfreq, dfreq, live, cfg: levels_mod.LevelConfig,
     return hdr_lo, hdr_nb, el, er, edl, edr, eob_lo, eob_nb
 
 
-def _split_dp(Pl, Pd, nch: int):
+def _split_dp(Pl, Pd, nch: int, c0=_SPLIT_HDR_C0, c1=_SPLIT_HDR_C1):
     """Optimal contiguous chunk partition for ONE block (vmapped over batch).
 
     Pl: (nch+1, NL) i32 prefix histograms (chunk symbol freqs), Pd likewise
@@ -252,7 +258,7 @@ def _split_dp(Pl, Pd, nch: int):
 
     distinct = (jnp.sum((hl > 0).astype(jnp.int32), -1)
                 + jnp.sum((hd > 0).astype(jnp.int32), -1)).astype(jnp.float32)
-    cost = ent(hl) + ent(hd) + _SPLIT_HDR_C0 + _SPLIT_HDR_C1 * distinct
+    cost = ent(hl) + ent(hd) + np.float32(c0) + np.float32(c1) * distinct
 
     INF = np.float32(3e18)
     best = jnp.full((nch + 1,), INF, jnp.float32).at[0].set(0.0)
@@ -295,7 +301,7 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     (batch,)).
     """
     cfg = levels_mod.get_level(level)
-    nch = _nch(bl)
+    nch = _nch(bl, cfg.chunk)
     CH = bl // nch
     CS = 1 + HDR_ITEMS + CH       # chunk stride: [eob slot, hdr, tokens]
     nitems = nch * CS + 1
@@ -370,7 +376,8 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     Pd = jnp.concatenate([zd, jnp.cumsum(dfreq_c, axis=1)], axis=1)
     ci = jnp.arange(nch, dtype=jnp.int32)
     if nch > 1 and cfg.level >= 1:
-        start_f = jax.vmap(lambda a, b: _split_dp(a, b, nch))(Pl, Pd)
+        start_f = jax.vmap(lambda a, b: _split_dp(
+            a, b, nch, cfg.split_c0, cfg.split_c1))(Pl, Pd)
     else:
         start_f = jnp.zeros((B, nch), jnp.bool_).at[:, 0].set(True)
 
@@ -569,7 +576,7 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
         jnp.where(sym_mask, wid + 1, 0).reshape(-1)).reshape(B, nch)
     gbase = jnp.cumsum(gwin, axis=1) - gwin       # exclusive, per block
     aidx = jnp.take_along_axis(gbase, gsc, axis=1) + wid
-    A_BLK = anchors_cap(bl)
+    A_BLK = anchors_cap(bl, cfg.chunk)
     BIGA = np.int32(1 << 30)
     tgt = jnp.where(sym_mask & (aidx >= 0) & (aidx < A_BLK),
                     jnp.arange(B, dtype=jnp.int32)[:, None] * A_BLK + aidx,
@@ -620,15 +627,16 @@ def encode_batch_packed(data, start_block, total_len, dict_len, final_block,
     return words, meta, wanch
 
 
-def words_bound(bl: int, batch: int) -> int:
+def words_bound(bl: int, batch: int, chunk: int = CHUNK) -> int:
     """Static output-word bound: <=11 bits/byte (len-3 far match worst case
     under static codes) plus per-sub-block header slack."""
-    return (batch * (11 * bl + 8192 + _nch(bl) * 4200)) // 32 + 4
+    return (batch * (11 * bl + 8192 + _nch(bl, chunk) * 4200)) // 32 + 4
 
 
 def index_entries_from_meta(bl: int, batch: int, startf, hdr_off, gwin,
                             wanch, stored_h, nblocks: int, n_total: int,
-                            base_bits: int, base_byte: int):
+                            base_bits: int, base_byte: int,
+                            chunk: int = CHUNK):
     """Assemble parallel-decode index entries (bits, bytes, window anchors)
     from one batch's device meta (shared by the single-chip driver and the
     sharded encoder; one entry per emitted sub-block).
@@ -636,7 +644,7 @@ def index_entries_from_meta(bl: int, batch: int, startf, hdr_off, gwin,
     wanch rows hold each block's groups back-to-back (gbase = exclusive
     cumsum of gwin over chunks); a value of >= 2^30 marks a window entirely
     spanned by one symbol (no symbol starts in it) -> -1 in the index."""
-    nch = _nch(bl)
+    nch = _nch(bl, chunk)
     CH = bl // nch
     index_bits, index_bytes, win_out = [], [], []
     BIGA = 1 << 30
@@ -700,14 +708,15 @@ class RawDeflater:
         dict_bytes = (dictionary or b"")[-C.WINDOW_SIZE:]
         nblocks = (n + bl - 1) // bl
         arr = np.frombuffer(data, np.uint8)
-        nch = _nch(bl)
+        chunk = levels_mod.get_level(self.level).chunk
+        nch = _nch(bl, chunk)
         CH = bl // nch
         # Fixed-shape segments: one compiled program regardless of input size.
         # Each device call sees exactly (HALO + batch*bl + PAD) bytes; the
         # segment's halo is the preceding 32 KiB of the stream (or the preset
         # dictionary for the first segment).
         seg = batch * bl
-        nw = words_bound(bl, batch)
+        nw = words_bound(bl, batch, chunk)
         out = bytearray()
         index_bits = []          # absolute bit offset of each sub-block start
         index_bytes = []         # output (uncompressed) offset of each sub-block
@@ -765,7 +774,7 @@ class RawDeflater:
             base_bits = len(out) * 8
             ib, iy, ia = index_entries_from_meta(
                 bl, batch, startf, hdr_off, gwin, wanch, stored_h,
-                nblocks - b0, n, base_bits, b0 * bl)
+                nblocks - b0, n, base_bits, b0 * bl, chunk)
             index_bits += ib
             index_bytes += iy
             anchors_out += ia

@@ -25,6 +25,9 @@ class LevelConfig:
     ext_rounds: int = 4   # residual gather-compare rounds (16 bytes each)
     rescue: bool = False  # 3-byte secondary hash (deflator.c:49-70, levels>=6)
     probe_words: int = 8  # co-sorted prefix words (4B each) per candidate
+    chunk: int = 8192     # block-splitter granularity (bytes of input)
+    split_c0: float = 120.0   # split DP header-cost estimate: constant bits
+    split_c1: float = 5.5     # ... + per-distinct-symbol bits
 
 
 _CHAIN = {1: 2, 2: 8, 3: 16, 4: 32, 5: 128, 6: 48, 7: 128, 8: 320, 9: 512}
@@ -55,4 +58,8 @@ def get_level(level: int) -> LevelConfig:
         ext_rounds=_EXT_ROUNDS[level],
         rescue=level >= 6,
         probe_words=16 if level >= 8 else 8,
+        # level 9 pays maximum effort for ratio: finer splitter granularity
+        # (the measured residue vs the reference at 9 was split-header
+        # overhead vs entropy — scripts/jobs/23_level9_diag.py)
+        chunk=4096 if level >= 9 else 8192,
     )

@@ -39,21 +39,43 @@ def pack(lo: jnp.ndarray, hi: jnp.ndarray, nbits: jnp.ndarray, num_words: int):
     lo, hi: (N,) u32 — 64-bit LSB-first values (bits above nbits MUST be 0).
     nbits: (N,) i32 in [0, 48].
     Returns (words (num_words,) u32, offsets (N,) i32, total_bits i32).
+
+    Segmented-sum formulation (items sorted by destination word): per-item
+    word contributions are cumsummed and each output word takes the
+    difference of the cumsum at consecutive word boundaries. Disjoint bits
+    make add == or, and u32 wraparound cancels in the differences, so the
+    result is exact. One boundary scatter-max replaces three full-size
+    scatter-adds (three 1.1M-item scatter-adds measured 29 ms on v5e; this
+    runs 19 ms — scripts/jobs/42).
     """
+    import jax
+
+    N = nbits.shape[0]
     offs = jnp.cumsum(nbits) - nbits              # exclusive scan
-    total = offs[-1] + nbits[-1] if nbits.shape[0] else jnp.int32(0)
+    total = offs[-1] + nbits[-1] if N else jnp.int32(0)
     word = (offs >> 5).astype(jnp.int32)
     s = (offs & 31).astype(jnp.uint32)
     rs = jnp.minimum(32 - s, 31)                  # right shift amount, s==0 guarded
-    w0 = lo << s
-    w1 = jnp.where(s == 0, 0, lo >> rs) | (hi << s)
-    w2 = jnp.where(s == 0, 0, hi >> rs)
     live = nbits > 0
-    w0 = jnp.where(live, w0, 0)
-    w1 = jnp.where(live, w1, 0)
-    w2 = jnp.where(live, w2, 0)
-    out = jnp.zeros(num_words, jnp.uint32)
-    out = out.at[word].add(w0)
-    out = out.at[jnp.minimum(word + 1, num_words - 1)].add(w1)
-    out = out.at[jnp.minimum(word + 2, num_words - 1)].add(w2)
-    return out, offs, total
+    w0 = jnp.where(live, lo << s, 0)
+    w1 = jnp.where(live, jnp.where(s == 0, 0, lo >> rs) | (hi << s), 0)
+    w2 = jnp.where(live, jnp.where(s == 0, 0, hi >> rs), 0)
+    c0 = jnp.cumsum(w0)
+    c1 = jnp.cumsum(w1)
+    c2 = jnp.cumsum(w2)
+    # last item index per destination word, empty words filled by cummax
+    idx = jnp.arange(N, dtype=jnp.int32)
+    bnd = jnp.full(num_words, -1, jnp.int32).at[word].max(
+        idx, mode="drop", indices_are_sorted=True)
+    bnd = jax.lax.cummax(bnd)
+    has = bnd >= 0
+    g0 = jnp.where(has, c0[jnp.maximum(bnd, 0)], 0)
+    g1 = jnp.where(has, c1[jnp.maximum(bnd, 0)], 0)
+    g2 = jnp.where(has, c2[jnp.maximum(bnd, 0)], 0)
+    z = jnp.zeros(1, jnp.uint32)
+    # word w collects: its own items' w0, word w-1's items' w1, w-2's w2
+    d0 = g0 - jnp.concatenate([z, g0[:-1]])
+    d1 = jnp.concatenate([z, g1[:-1]]) - jnp.concatenate([z, z, g1[:-2]])
+    d2 = (jnp.concatenate([z, z, g2[:-2]])
+          - jnp.concatenate([z, z, z, g2[:-3]]))
+    return d0 + d1 + d2, offs, total
