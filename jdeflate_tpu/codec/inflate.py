@@ -389,6 +389,20 @@ class RawInflater:
         else:
             recs = [hi.parse_block_header(raw, b) for b in block_bits]
 
+        # FEXTRA-embedded indexes carry window anchors as 6-bit deltas on
+        # the grid anchored at each block's symbol start (headers.pack_index)
+        if index.get("win") is None and index.get("win_deltas") is not None:
+            win_abs = []
+            for k, rec in enumerate(recs):
+                wd = index["win_deltas"][k]
+                if wd is None or rec.btype == 0:
+                    win_abs.append(None)
+                    continue
+                grid0 = rec.sym_bit_offset & ~31
+                pos_w = grid0 + 32 * np.arange(len(wd), dtype=np.int64)
+                win_abs.append(np.where(wd == 63, np.int64(-1), pos_w + wd))
+            index = {**index, "win": win_abs}
+
         # The whole stream uploads ONCE (host->device over the axon tunnel is
         # slow and per-transfer costs are high); each batch then slices its
         # bucketed word window ON DEVICE. Window buckets keep one compiled

@@ -73,6 +73,93 @@ def parse_gzip_header(data: bytes) -> int:
     return pos
 
 
+JD_SUBFIELD = b"JD"      # FEXTRA subfield id for the embedded decode index
+
+
+def emit_gzip_header_with_extra(extra: bytes) -> bytes:
+    """Header with one FEXTRA subfield (RFC 1952 §2.3.1.1). Foreign
+    decoders skip FEXTRA, so interop is preserved."""
+    sub = JD_SUBFIELD + struct.pack("<H", len(extra)) + extra
+    return (GZIP_MAGIC + bytes([8, FEXTRA]) + b"\x00\x00\x00\x00\x00\xff"
+            + struct.pack("<H", len(sub)) + sub)
+
+
+def parse_gzip_extra(data: bytes) -> bytes | None:
+    """Extract the JD subfield payload from a gzip header, if present."""
+    if len(data) < 10 or data[:2] != GZIP_MAGIC or not (data[3] & FEXTRA):
+        return None
+    if len(data) < 12:
+        return None
+    xlen = data[10] | (data[11] << 8)
+    pos, end = 12, 12 + xlen
+    while pos + 4 <= min(end, len(data)):
+        si = data[pos:pos + 2]
+        sl = data[pos + 2] | (data[pos + 3] << 8)
+        if si == JD_SUBFIELD:
+            return bytes(data[pos + 4:pos + 4 + sl])
+        pos += 4 + sl
+    return None
+
+
+def pack_index(index: dict) -> bytes:
+    """Serialize a parallel-decode index for FEXTRA embedding.
+
+    Layout: magic 'JDI1', n (u64), clen (u64, compressed body bytes),
+    nentries (u32), then per entry: bit_offset u64, out_offset u64, nwin
+    u32, packed 6-bit window-anchor deltas (63 = empty window; others =
+    anchor - window_start in [0, 32)). The decoder reconstructs absolute
+    anchors from each block header's symbol start (grid origin =
+    sym_start & ~31, ops/walk.py).
+    """
+    import numpy as np
+    out = bytearray(b"JDI1")
+    out += struct.pack("<QQI", index["n"], index.get("clen", 0),
+                       len(index["block_bits"]))
+    wins = index.get("win") or [None] * len(index["block_bits"])
+    for bit, byt, wa in zip(index["block_bits"], index["block_bytes"], wins):
+        if wa is None:
+            out += struct.pack("<QQI", bit, byt, 0)
+            continue
+        wa = np.asarray(wa, np.int64)
+        grid0 = int(wa[0]) & ~31
+        deltas = np.where(wa >= 0, wa - (grid0 + 32 * np.arange(len(wa))),
+                          63).astype(np.uint8)
+        out += struct.pack("<QQI", bit, byt, len(wa))
+        bits = np.unpackbits(deltas[:, None], axis=1, count=6,
+                             bitorder="little")[:, :6].reshape(-1)
+        out += np.packbits(bits, bitorder="little").tobytes()
+    return bytes(out)
+
+
+def unpack_index(blob: bytes) -> dict | None:
+    """Inverse of pack_index."""
+    import numpy as np
+    if len(blob) < 24 or blob[:4] != b"JDI1":
+        return None
+    n, clen, ne = struct.unpack_from("<QQI", blob, 4)
+    pos = 24
+    bits_l, bytes_l, wins = [], [], []
+    for _ in range(ne):
+        bit, byt, nw = struct.unpack_from("<QQI", blob, pos)
+        pos += 20
+        bits_l.append(bit)
+        bytes_l.append(byt)
+        if nw == 0:
+            wins.append(None)
+            continue
+        nbytes = (nw * 6 + 7) // 8
+        raw = np.frombuffer(blob[pos:pos + nbytes], np.uint8)
+        pos += nbytes
+        bb = np.unpackbits(raw, bitorder="little")[:nw * 6].reshape(nw, 6)
+        deltas = np.packbits(
+            np.pad(bb, ((0, 0), (0, 2))), axis=1,
+            bitorder="little")[:, 0].astype(np.int64)
+        wins.append(deltas)
+    return {"n": n, "clen": clen, "block_bits": bits_l,
+            "block_bytes": bytes_l, "win_deltas": wins,
+            "sync_points": []}
+
+
 def emit_gzip_trailer(crc: int, isize: int) -> bytes:
     return struct.pack("<II", crc & 0xFFFFFFFF, isize & 0xFFFFFFFF)
 

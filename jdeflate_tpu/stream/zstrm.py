@@ -26,19 +26,33 @@ _FORMATS = ("raw", "zlib", "gzip")
 
 def compress(data: bytes, format: str = "gzip", level: int = 6,
              dictionary: bytes | None = None, block_size: int = 1 << 16,
-             batch: int = 16, fixed_codes: bool = False) -> bytes:
-    """One-shot framed compression. Returns the complete framed stream."""
+             batch: int = 16, fixed_codes: bool = False,
+             embed_index: bool = False) -> bytes:
+    """One-shot framed compression. Returns the complete framed stream.
+
+    embed_index=True (gzip only) stores the parallel-decode index in a
+    FEXTRA subfield (RFC 1952 §2.3.1.1) so decompress() runs the windowed
+    device path with no in-memory index handoff; foreign decoders skip the
+    field. Costs ~18% of the compressed size (one 6-bit window anchor per
+    32 stream bits), so it is opt-in — the in-memory index from
+    compress_with_index() is free.
+    """
     if format not in _FORMATS:
         raise errors.IncorrectUseError(f"unknown format {format!r}")
     if format == "gzip" and dictionary:
         raise errors.IncorrectUseError("gzip framing has no dictionary field")
     enc = RawDeflater(level=level, block_size=block_size, batch=batch,
                       fixed_codes=fixed_codes)
-    raw, _ = enc.compress(data, dictionary=dictionary)
+    raw, index = enc.compress(data, dictionary=dictionary)
     if format == "raw":
         return raw
     if format == "gzip":
-        return (H.emit_gzip_header() + raw
+        if embed_index:
+            index["clen"] = len(raw)
+            hdr = H.emit_gzip_header_with_extra(H.pack_index(index))
+        else:
+            hdr = H.emit_gzip_header()
+        return (hdr + raw
                 + H.emit_gzip_trailer(cs.crc32(data), len(data)))
     dictid = cs.adler32(dictionary) if dictionary else None
     return (H.emit_zlib_header(level, dictid) + raw
@@ -109,14 +123,22 @@ def decompress(data: bytes, format: str = "auto",
             if verify:
                 H.check_gzip_trailer(data[-8:], cs.crc32(out), len(out))
             return out
-        # multi-member loop (RFC 1952 §2.2; decode path per member)
+        # multi-member loop (RFC 1952 §2.2); members carrying an embedded
+        # FEXTRA index (compress(embed_index=True)) take the windowed
+        # device path with no sequential decode
         out = bytearray()
         pos = 0
         while True:
             hl = H.parse_gzip_header(data[pos:])
             body = data[pos + hl:]
-            o, endbit = _seq_inflate(body)
-            nbytes = (endbit + 7) // 8
+            emb = H.unpack_index(
+                H.parse_gzip_extra(data[pos:pos + hl + 4]) or b"")
+            if emb is not None and emb.get("clen"):
+                nbytes = emb["clen"]
+                o = dec.decompress(body[:nbytes], index=emb)
+            else:
+                o, endbit = _seq_inflate(body)
+                nbytes = (endbit + 7) // 8
             if verify:
                 H.check_gzip_trailer(body[nbytes:nbytes + 8],
                                      cs.crc32(o), len(o))

@@ -318,3 +318,45 @@ class TestResetChecksumCallbacks:
                      target_fn=out_sink.append)
         rest2 = zi.run()
         assert b"".join(out_sink) + rest2 == data
+
+
+class TestEmbeddedIndex:
+    """FEXTRA-embedded parallel-decode index (RFC 1952 §2.3.1.1): the
+    flagship compress/decompress pair round-trips through the windowed
+    device path with no in-memory index handoff, and foreign decoders
+    skip the subfield."""
+
+    def test_embed_roundtrip_and_interop(self, corpus):
+        import gzip as _g
+        from jdeflate_tpu.stream import zstrm
+        data = corpus("text", 300_000)
+        blob = zstrm.compress(data, format="gzip", embed_index=True)
+        assert _g.decompress(blob) == data          # foreign interop
+        assert zstrm.decompress(blob) == data
+
+    def test_embed_uses_windowed_path(self, corpus):
+        from jdeflate_tpu.stream import zstrm
+        from jdeflate_tpu.codec import inflate as I
+        data = corpus("binary", 200_000)
+        blob = zstrm.compress(data, format="gzip", embed_index=True)
+        calls = []
+        orig = I.decode_batch_windows
+        def spy(*a, **k):
+            r = orig(*a, **k)
+            calls.append((int(r[1]), int(r[2])))
+            return r
+        I.decode_batch_windows = spy
+        try:
+            out = zstrm.decompress(blob)
+        finally:
+            I.decode_batch_windows = orig
+        assert out == data
+        assert calls and all(e == 0 for _, e in calls)
+
+    def test_embed_multimember(self, corpus):
+        from jdeflate_tpu.stream import zstrm
+        a = corpus("text", 120_000)
+        b = corpus("runs", 90_000)
+        blob = (zstrm.compress(a, format="gzip", embed_index=True)
+                + zstrm.compress(b, format="gzip", embed_index=True))
+        assert zstrm.decompress(blob) == a + b
