@@ -261,8 +261,12 @@ def find_matches_batch(ext: jnp.ndarray, block_len: jnp.ndarray,
     pd2 = pdist
     stuck0 = (pl2 > 0) & (pl2 % 16 == 0) & (pl2 < 258)
     dwt = jnp.where(stuck0, pd2, 0)
+    # subsampled histogram: the top distances are frequent by definition, so
+    # a 1-in-4 sample finds them; the full-size scatter-add cost ~11 ms/MB
+    # on v5e (scatters run ~0.14 G elem/s)
+    dws = dwt.reshape(-1)[::4]
     hist = jnp.zeros(C.WINDOW_SIZE + 1, jnp.int32).at[
-        dwt.reshape(-1)].add(1, mode="drop").at[0].set(0)
+        dws].add(1, mode="drop").at[0].set(0)
     topd = jax.lax.top_k(hist, T)[1].astype(jnp.int32)
     col_row = jnp.arange(row, dtype=jnp.int32)[None, :]
     BIG = np.int32(1 << 20)
@@ -290,10 +294,9 @@ def find_matches_batch(ext: jnp.ndarray, block_len: jnp.ndarray,
     fidx = jnp.arange(N, dtype=jnp.int32)
     in_block = (fidx % nh) >= halo
     stuck = (pl > 0) & (pl % 16 == 0) & (pl < 258) & in_block
-    rank = jnp.cumsum(stuck.astype(jnp.int32)) - stuck.astype(jnp.int32)
-    slot = jnp.where(stuck & (rank < M), rank, M)
-    sidx = jnp.full(M + 1, -1, jnp.int32).at[slot].set(
-        fidx, mode="drop")[:M]
+    # compaction by sort (a full-size scatter here cost ~11 ms/MB; the
+    # bitonic sort of N i32 keys runs ~3 ms)
+    sidx = jax.lax.sort(jnp.where(stuck, fidx, np.int32(-1) - fidx))[-M:]
     valid = sidx >= 0
     si = jnp.maximum(sidx, 0)
     qi_s = si + (si // nh) * pad          # flat (B, nh) index -> flat row index

@@ -166,6 +166,60 @@ def parse_block_header(data: bytes, bit_pos: int) -> BlockRecord:
                        lengths[:hlit], lengths[hlit:])
 
 
+def inflate_one_block(data: bytes, bit_pos: int, window: bytes = b""):
+    """Decode exactly ONE block at bit_pos with the given history window.
+
+    Returns (out_bytes, end_bit, bfinal). Raises InputEndError when the
+    buffered input truncates mid-block (the bounded-memory streaming
+    substrate; cf. the reference's resumable decode loop,
+    src/inflator.c:1329-1518 — suspension here is at block granularity).
+    """
+    br = _BitReader(data, bit_pos)
+    out = bytearray(window[-C.WINDOW_SIZE:])
+    base = len(out)
+    bfinal = br.read(1)
+    btype = br.read(2)
+    if btype == 3:
+        raise BadBlockError("reserved block type")
+    if btype == 0:
+        br.align_byte()
+        ln = br.read(16)
+        nln = br.read(16)
+        if ln ^ nln != 0xFFFF:
+            raise BadBlockError("LEN/NLEN mismatch")
+        if br.pos + 8 * ln > br.nbits:
+            raise InputEndError("truncated stored block")
+        start = br.pos >> 3
+        out += data[start:start + ln]
+        br.pos += 8 * ln
+        return bytes(out[base:]), br.pos, bool(bfinal)
+    rec = parse_block_header(data, bit_pos)
+    br.pos = rec.sym_bit_offset
+    ldec = _Decoder(rec.litlen_lengths)
+    ddec = _Decoder(rec.dist_lengths, allow_incomplete_single=True)
+    while True:
+        s = ldec.decode(br)
+        if s < 256:
+            out.append(s)
+        elif s == 256:
+            break
+        else:
+            if s > 285:
+                raise BadCodeError("invalid length symbol")
+            li = s - 257
+            length = int(C.LENGTH_BASE[li]) + br.read(int(C.LENGTH_EXTRA[li]))
+            d = ddec.decode(br)
+            if d > 29:
+                raise BadCodeError("invalid distance symbol")
+            dist = int(C.DIST_BASE[d]) + br.read(int(C.DIST_EXTRA[d]))
+            if dist > len(out):
+                raise FarOffsetError(
+                    f"distance {dist} beyond history {len(out)}")
+            for _ in range(length):
+                out.append(out[-dist])
+    return bytes(out[base:]), br.pos, bool(bfinal)
+
+
 def inflate_raw(data: bytes, dictionary: bytes = b"", max_output: int | None = None,
                 collect_index: bool = True):
     """Decode a raw DEFLATE stream. Returns (output_bytes, records, end_bit)."""

@@ -79,6 +79,26 @@ def compress_with_index(data: bytes, format: str = "gzip", level: int = 6,
     return out, index, len(hdr)
 
 
+def _partial_inflate_py(buf: bytes, window: bytes, start_bit: int):
+    """Pure-Python partial inflate (native-unavailable fallback): decode
+    complete blocks, stop at truncation. Returns (out, end_bit, complete)."""
+    from . import host_inflate as hi
+    from ..utils.errors import InputEndError
+    out = bytearray()
+    win = window
+    pos = start_bit
+    while True:
+        try:
+            piece, endpos, bfinal = hi.inflate_one_block(buf, pos, win)
+        except InputEndError:
+            return bytes(out), pos, False
+        out += piece
+        win = (win + piece)[-32768:]
+        pos = endpos
+        if bfinal:
+            return bytes(out), pos, True
+
+
 def _seq_inflate(body: bytes, dictionary: bytes = b""):
     """Sequential one-pass decode of a raw stream -> (out, end_bit)."""
     from . import host_inflate as hi
@@ -225,6 +245,7 @@ class ZStream:
         self._adler = 1
         self._pending_tail = bytearray()  # encoded-but-unflushed member body
         self._segments_tail = None
+        self._ist = {"stage": "head"}     # incremental-inflate state
         return self
 
     @property
@@ -330,10 +351,12 @@ class ZStream:
     # ---- inflate side ----
 
     def feed(self, data: bytes) -> None:
-        """Buffer compressed input; gzip members decode incrementally as
-        they complete (the reference's incremental inflate drive,
-        zstrm.c:792-958, at member granularity instead of bytes). Decoded
-        output accumulates; take it with read() or at finish()."""
+        """Buffer compressed input; complete DEFLATE blocks decode as they
+        arrive (the reference's incremental inflate drive, zstrm.c:792-958,
+        at block granularity instead of bytes), so memory stays bounded by
+        the feed chunk size plus one block, even inside a multi-gigabyte
+        single member. Decoded output accumulates; take it with read() or
+        at finish()."""
         self._check()
         if self.mode != "inflate":
             self._poisoned = True
@@ -341,7 +364,7 @@ class ZStream:
         self._buf += data
         self.total_in += len(data)
         try:
-            self._drain_members()
+            self._drain_stream(final=False)
         except errors.JDeflateError:
             self._poisoned = True
             raise
@@ -353,35 +376,118 @@ class ZStream:
     def _verify(self) -> bool:
         return self.checksum_mode != "suppress"
 
-    def _drain_members(self):
-        """Decode every complete gzip member currently buffered."""
-        if not self._buf or self._finished:
+    def _drain_stream(self, final: bool):
+        """Incremental decode state machine over the buffered input.
+
+        Stages: head -> body (block-at-a-time via the native partial
+        inflator) -> trailer -> (gzip: next member | done). The 32 KiB
+        window carries across calls exactly like the reference's ring
+        (updatewindow, src/inflator.c:616-675).
+        """
+        from . import native
+        if self._finished:
             return
-        if self.used_input == 0 and self._inflate_fmt() != "gzip":
-            return                      # zlib/raw decode at finish()
-        while self._buf:
-            if len(self._buf) >= 2 and bytes(self._buf[:2]) != b"\x1f\x8b":
-                break                   # trailing non-gzip data
-            try:
-                hl = H.parse_gzip_header(bytes(self._buf))
-            except errors.InputEndError:
-                return                  # incomplete header: wait for more
-            body = bytes(self._buf[hl:])
-            try:
-                o, endbit = _seq_inflate(body)
-            except errors.InputEndError:
-                return                  # incomplete member: wait for more
-            nb = (endbit + 7) // 8
-            if len(body) < nb + 8:
-                return                  # trailer not yet arrived
-            if self._verify():
-                H.check_gzip_trailer(body[nb:nb + 8], cs.crc32(o), len(o))
-            self._track(o)
-            self._push_out(o)
-            consumed = hl + nb + 8
-            del self._buf[:consumed]
-            self.used_input += consumed
-            self.total_out += len(o)
+        st = self._ist
+        while True:
+            if st["stage"] == "head":
+                if not self._buf:
+                    return
+                fmt = self._inflate_fmt()
+                if fmt == "gzip":
+                    try:
+                        hl = H.parse_gzip_header(bytes(self._buf))
+                    except errors.InputEndError:
+                        return
+                elif fmt == "zlib":
+                    try:
+                        hl, dictid = H.parse_zlib_header(bytes(self._buf))
+                    except errors.InputEndError:
+                        return
+                    if dictid is not None:
+                        if self.dictionary is None:
+                            raise errors.MissingDictError(
+                                "stream requires a preset dictionary")
+                        if cs.adler32(self.dictionary) != dictid:
+                            raise errors.BadDictError(
+                                "dictionary id mismatch")
+                else:
+                    hl = 0
+                del self._buf[:hl]
+                self.used_input += hl
+                st.update(stage="body", fmt=fmt, bit=0,
+                          win=(self.dictionary or b"")[-32768:]
+                          if fmt != "gzip" else b"",
+                          mcrc=0, madler=1, mlen=0)
+            elif st["stage"] == "body":
+                if not self._buf:
+                    return
+                buf = bytes(self._buf)
+                if native.available():
+                    o, endbit, complete = native.inflate_partial(
+                        buf, st["win"], st["bit"])
+                else:
+                    o, endbit, complete = _partial_inflate_py(
+                        buf, st["win"], st["bit"])
+                if o:
+                    st["win"] = (st["win"] + o)[-32768:]
+                    st["mcrc"] = cs.crc32(o, st["mcrc"])
+                    st["madler"] = cs.adler32(o, st["madler"])
+                    st["mlen"] += len(o)
+                    self._track(o)
+                    self._push_out(o)
+                    self.total_out += len(o)
+                consumed = endbit >> 3
+                del self._buf[:consumed]
+                self.used_input += consumed
+                st["bit"] = endbit & 7
+                if not complete:
+                    return
+                # stream ended: consume the final partial byte
+                if st["bit"]:
+                    del self._buf[:1]
+                    self.used_input += 1
+                    st["bit"] = 0
+                st["stage"] = "trailer"
+            elif st["stage"] == "trailer":
+                fmt = st["fmt"]
+                if fmt == "gzip":
+                    if len(self._buf) < 8:
+                        if final:
+                            raise errors.InputEndError(
+                                "truncated gzip trailer")
+                        return
+                    if self._verify():
+                        H.check_gzip_trailer(bytes(self._buf[:8]),
+                                             st["mcrc"], st["mlen"])
+                    del self._buf[:8]
+                    self.used_input += 8
+                    # another member? (RFC 1952 §2.2)
+                    if len(self._buf) >= 2 \
+                            and bytes(self._buf[:2]) == H.GZIP_MAGIC:
+                        st["stage"] = "head"
+                        continue
+                    if len(self._buf) < 2 and not final:
+                        st["stage"] = "head"   # more members may arrive
+                        return
+                    st["stage"] = "done"
+                elif fmt == "zlib":
+                    if len(self._buf) < 4:
+                        if final:
+                            raise errors.InputEndError(
+                                "truncated zlib trailer")
+                        return
+                    if self._verify():
+                        H.check_zlib_trailer(bytes(self._buf[:4]),
+                                             st["madler"])
+                    del self._buf[:4]
+                    self.used_input += 4
+                    st["stage"] = "done"
+                else:
+                    st["stage"] = "done"
+            elif st["stage"] == "done":
+                self.unused_data += bytes(self._buf)
+                self._buf.clear()
+                return
 
     def _push_out(self, o: bytes):
         """Deliver decoded output (inflate side): push callback or buffer."""
@@ -431,47 +537,19 @@ class ZStream:
         if self._finished:
             return self.read()
         try:
-            self._drain_members()
-            if self._buf:
-                fmt = self._inflate_fmt() if not self.used_input else None
-                if self.used_input:
-                    # gzip members already decoded; remainder is trailing data
-                    if bytes(self._buf[:2]) == b"\x1f\x8b":
-                        raise errors.InputEndError("truncated gzip member")
-                    self.unused_data = bytes(self._buf)
-                elif fmt == "gzip":
+            self._drain_stream(final=True)
+            st = self._ist
+            if st["stage"] == "body":
+                raise errors.InputEndError("truncated deflate stream")
+            if st["stage"] == "head" and (self._buf or not self.used_input):
+                if self.used_input and bytes(self._buf[:2]) == H.GZIP_MAGIC:
                     raise errors.InputEndError("truncated gzip member")
-                elif fmt == "zlib":
-                    data = bytes(self._buf)
-                    hl, dictid = H.parse_zlib_header(data)
-                    if dictid is not None:
-                        if self.dictionary is None:
-                            raise errors.MissingDictError(
-                                "stream requires a preset dictionary")
-                        if cs.adler32(self.dictionary) != dictid:
-                            raise errors.BadDictError("dictionary id mismatch")
-                    o, endbit = _seq_inflate(data[hl:], self.dictionary or b"")
-                    nb = (endbit + 7) // 8
-                    if len(data) < hl + nb + 4:
-                        raise errors.InputEndError("truncated zlib trailer")
-                    if self._verify():
-                        H.check_zlib_trailer(data[hl + nb:hl + nb + 4],
-                                             cs.adler32(o))
-                    self._track(o)
-                    self._push_out(o)
-                    self.used_input += hl + nb + 4
-                    self.unused_data = data[hl + nb + 4:]
-                    self.total_out += len(o)
-                else:
-                    data = bytes(self._buf)
-                    o, endbit = _seq_inflate(data, self.dictionary or b"")
-                    nb = (endbit + 7) // 8
-                    self._track(o)
-                    self._push_out(o)
-                    self.used_input += nb
-                    self.unused_data = data[nb:]
-                    self.total_out += len(o)
+                if not self.used_input and self._buf:
+                    raise errors.InputEndError("truncated stream header")
+                self.unused_data = bytes(self._buf)
                 self._buf.clear()
+            if st["stage"] == "trailer":
+                raise errors.InputEndError("truncated stream trailer")
         except errors.JDeflateError:
             self._poisoned = True
             raise

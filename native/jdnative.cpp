@@ -309,13 +309,20 @@ int jd_parse_header(const u8* src, size_t srclen, i64 bit, u8* ll, u8* dl,
 //     index uses, so indexed foreign streams take the exact anchored decode
 //     path on device with no speculation).
 //   *end_bit <- bit position after the final block.
-// Returns JD_OK or a negative error.
+//   partial: if nonzero, a truncated input is not an error — decoding stops
+//     at the last COMPLETE block boundary, *dstlen/*end_bit report progress,
+//     and the return value is 1 ("more input needed"). This is the native
+//     substrate for bounded-memory streaming inflate below member
+//     granularity (the reference drives a 32 KiB window the same way,
+//     /root/reference/src/zstrm.c:792-958).
+// Returns JD_OK, 1 (partial), or a negative error.
 int jd_inflate(const u8* src, size_t srclen, i64 start_bit,
                const u8* dict, size_t dictlen,
                u8* dst, size_t dstcap, size_t* dstlen,
                BlockMeta* meta, size_t metacap, size_t* nblocks,
                u8* lens, size_t lenscap, i64* end_bit,
-               i64* anchors, size_t anchcap, size_t* nanchors) {
+               i64* anchors, size_t anchcap, size_t* nanchors,
+               int partial = 0) {
   BitReader br;
   br.init(src, srclen, (size_t) start_bit);
   size_t out = 0;
@@ -326,7 +333,28 @@ int jd_inflate(const u8* src, size_t srclen, i64 start_bit,
   for (;;) {
     u32 bfinal, btype;
     i64 hdr_bit = br.bit_position();
-    if (!br.read(1, &bfinal) || !br.read(2, &btype)) return JD_EINPUTEND;
+    size_t ckpt_out = out;
+#define JD_FAILV(v) \
+    do { \
+      if (partial && (v) == JD_EINPUTEND) { \
+        if (dstlen) *dstlen = ckpt_out; \
+        if (nblocks) *nblocks = nblk; \
+        if (end_bit) *end_bit = hdr_bit; \
+        return 1; \
+      } \
+      return (v); \
+    } while (0)
+#define JD_FAIL(code) \
+    do { \
+      if (partial && (code) == JD_EINPUTEND) { \
+        if (dstlen) *dstlen = ckpt_out; \
+        if (nblocks) *nblocks = nblk; \
+        if (end_bit) *end_bit = hdr_bit; \
+        return 1; \
+      } \
+      return (code); \
+    } while (0)
+    if (!br.read(1, &bfinal) || !br.read(2, &btype)) JD_FAIL(JD_EINPUTEND);
     BlockMeta bm;
     bm.bit_offset = hdr_bit;
     bm.btype = btype;
@@ -341,13 +369,13 @@ int jd_inflate(const u8* src, size_t srclen, i64 start_bit,
     if (btype == 0) {
       br.align_byte();
       u32 ln, nln;
-      if (!br.read(16, &ln) || !br.read(16, &nln)) return JD_EINPUTEND;
+      if (!br.read(16, &ln) || !br.read(16, &nln)) JD_FAIL(JD_EINPUTEND);
       if ((ln ^ nln) != 0xFFFF) return JD_EBADBLOCK;
       bm.sym_bit = br.bit_position();
       if (out + ln > dstcap) return JD_EOUTCAP;
       // stored payload is byte-aligned
       size_t p = (size_t) (bm.sym_bit >> 3);
-      if (p + ln > srclen) return JD_EINPUTEND;
+      if (p + ln > srclen) JD_FAIL(JD_EINPUTEND);
       memcpy(dst + out, src + p, ln);
       out += ln;
       br.init(src, srclen, (size_t) (bm.sym_bit + 8 * (i64) ln));
@@ -361,14 +389,14 @@ int jd_inflate(const u8* src, size_t srclen, i64 start_bit,
       } else {
         u32 hlit, hdist, hclen;
         if (!br.read(5, &hlit) || !br.read(5, &hdist) || !br.read(4, &hclen))
-          return JD_EINPUTEND;
+          JD_FAIL(JD_EINPUTEND);
         hlit += 257; hdist += 1; hclen += 4;
         if (hlit > 286 || hdist > 30) return JD_EBADTREE;
         u8 plens[19];
         memset(plens, 0, sizeof(plens));
         for (u32 i = 0; i < hclen; i++) {
           u32 v;
-          if (!br.read(3, &v)) return JD_EINPUTEND;
+          if (!br.read(3, &v)) JD_FAIL(JD_EINPUTEND);
           plens[PORDER[i]] = (u8) v;
         }
         Huff pre;
@@ -378,21 +406,21 @@ int jd_inflate(const u8* src, size_t srclen, i64 start_bit,
         u32 i = 0;
         while (i < hlit + hdist) {
           int s = pre.decode(br);
-          if (s < 0) return s;
+          if (s < 0) JD_FAILV(s);
           if (s < 16) {
             cl[i++] = (u8) s;
           } else if (s == 16) {
             if (i == 0) return JD_EBADTREE;
             u32 r2;
-            if (!br.read(2, &r2)) return JD_EINPUTEND;
+            if (!br.read(2, &r2)) JD_FAIL(JD_EINPUTEND);
             u32 rep = 3 + r2;
             if (i + rep > hlit + hdist) return JD_EBADTREE;
             u8 prev = cl[i - 1];
             while (rep--) cl[i++] = prev;
           } else {
             u32 r2;
-            if (s == 17) { if (!br.read(3, &r2)) return JD_EINPUTEND; r2 += 3; }
-            else { if (!br.read(7, &r2)) return JD_EINPUTEND; r2 += 11; }
+            if (s == 17) { if (!br.read(3, &r2)) JD_FAIL(JD_EINPUTEND); r2 += 3; }
+            else { if (!br.read(7, &r2)) JD_FAIL(JD_EINPUTEND); r2 += 11; }
             if (i + r2 > hlit + hdist) return JD_EBADTREE;
             while (r2--) cl[i++] = 0;
           }
@@ -431,7 +459,7 @@ int jd_inflate(const u8* src, size_t srclen, i64 start_bit,
           }
         }
         int s = lit.decode(br);
-        if (s < 0) return s;
+        if (s < 0) JD_FAILV(s);
         if (s < 256) {
           if (out >= dstcap) return JD_EOUTCAP;
           dst[out++] = (u8) s;
@@ -440,12 +468,12 @@ int jd_inflate(const u8* src, size_t srclen, i64 start_bit,
         } else {
           if (s > 285) return JD_EBADCODE;
           u32 ext;
-          if (!br.read(LEXTRA[s - 257], &ext)) return JD_EINPUTEND;
+          if (!br.read(LEXTRA[s - 257], &ext)) JD_FAIL(JD_EINPUTEND);
           u32 len = LBASE[s - 257] + ext;
           int d = dist.decode(br);
-          if (d < 0) return d;
+          if (d < 0) JD_FAILV(d);
           if (d > 29) return JD_EBADCODE;
-          if (!br.read(DEXTRA[d], &ext)) return JD_EINPUTEND;
+          if (!br.read(DEXTRA[d], &ext)) JD_FAIL(JD_EINPUTEND);
           u32 distv = DBASE[d] + ext;
           if (distv > out + dictlen) return JD_EFAROFFSET;
           if (out + len > dstcap) return JD_EOUTCAP;

@@ -40,7 +40,7 @@ def _corpus(n):
 
 def test_tpu_full_levels_roundtrip(tpu_backend):
     """Production probe depths (uncapped by conftest) + Pallas walk kernel +
-    anchored decode + expand kernel, on the real chip."""
+    windowed decode + expand kernel, on the real chip."""
     import zlib
     from jdeflate_tpu.codec.deflate import RawDeflater
     from jdeflate_tpu.codec import inflate as I
@@ -50,16 +50,16 @@ def test_tpu_full_levels_roundtrip(tpu_backend):
         raw, idx = enc.compress(data)
         assert zlib.decompress(raw, -15) == data
         stats = []
-        orig = I.decode_batch_anchored
+        orig = I.decode_batch_windows
         def spy(*a, **k):
             r = orig(*a, **k)
             stats.append((int(r[1]), int(r[2])))
             return r
-        I.decode_batch_anchored = spy
+        I.decode_batch_windows = spy
         try:
             out = I.RawInflater().decompress(raw, index=idx)
         finally:
-            I.decode_batch_anchored = orig
+            I.decode_batch_windows = orig
         assert out == data
         assert stats and all(e == 0 for _, e in stats), stats
 

@@ -360,3 +360,58 @@ class TestEmbeddedIndex:
         blob = (zstrm.compress(a, format="gzip", embed_index=True)
                 + zstrm.compress(b, format="gzip", embed_index=True))
         assert zstrm.decompress(blob) == a + b
+
+
+class TestBoundedStreaming:
+    """Bounded-memory streaming inflate below member granularity (reference
+    inflate driver, zstrm.c:792-958): a large single-member stream fed in
+    small chunks never buffers more than chunk + one block."""
+
+    def test_single_member_chunked_bounded(self, corpus):
+        from jdeflate_tpu.stream.zstrm import ZStream, compress
+        data = corpus("text", 6 << 20)
+        blob = compress(data, format="gzip", level=1)
+        z = ZStream("inflate", format="auto")
+        out = bytearray()
+        peak = 0
+        CH = 1 << 20
+        for i in range(0, len(blob), CH):
+            z.feed(blob[i:i + CH])
+            peak = max(peak, len(z._buf))
+            out += z.read()
+        out += z.finish()
+        assert bytes(out) == data
+        assert peak < 2 * CH, f"peak buffering {peak}"
+        assert z.used_input == len(blob)
+
+    def test_zlib_chunked(self, corpus):
+        import zlib as _z
+        from jdeflate_tpu.stream.zstrm import ZStream
+        data = corpus("binary", 2 << 20)
+        blob = _z.compress(data, 6)
+        z = ZStream("inflate", format="auto")
+        for i in range(0, len(blob), 65536):
+            z.feed(blob[i:i + 65536])
+        assert z.finish() == data
+
+    def test_multimember_then_trailing(self, corpus):
+        from jdeflate_tpu.stream.zstrm import ZStream, compress
+        a = corpus("text", 200_000)
+        b = corpus("runs", 100_000)
+        blob = (compress(a, format="gzip") + compress(b, format="gzip")
+                + b"TRAILING")
+        z = ZStream("inflate", format="auto")
+        for i in range(0, len(blob), 30_000):
+            z.feed(blob[i:i + 30_000])
+        out = z.finish()
+        assert out == a + b
+        assert z.unused_data == b"TRAILING"
+
+    def test_truncated_raises_at_finish(self, corpus):
+        from jdeflate_tpu.stream.zstrm import ZStream, compress
+        from jdeflate_tpu.utils import errors
+        blob = compress(corpus("text", 100_000), format="gzip")
+        z = ZStream("inflate", format="auto")
+        z.feed(blob[:len(blob) // 2])
+        with pytest.raises(errors.JDeflateError):
+            z.finish()
