@@ -58,10 +58,11 @@ def get_level(level: int) -> LevelConfig:
         ext_rounds=_EXT_ROUNDS[level],
         rescue=level >= 6,
         probe_words=16 if level >= 8 else 8,
-        # level 9 pays maximum effort for ratio: 2 KiB splitter granularity
-        # with a retuned header-cost constant reaches 0.9997x the reference
-        # on the bench corpus (sweep: scripts/jobs — the measured residue at
-        # 8 KiB was split-header overhead vs entropy, 23_level9_diag.py)
-        chunk=2048 if level >= 9 else 8192,
-        split_c0=140.0 if level >= 9 else 120.0,
+        # levels 8-9 pay maximum effort for ratio: 2 KiB splitter granularity
+        # with a retuned header-cost constant reaches 0.997x (L8) / 0.9997x
+        # (L9, bench corpus) vs the reference (sweep: scripts/jobs — the
+        # measured residue at 8 KiB was split-header overhead vs entropy,
+        # 23_level9_diag.py)
+        chunk=2048 if level >= 8 else 8192,
+        split_c0=140.0 if level >= 8 else 120.0,
     )

@@ -341,10 +341,16 @@ for _l in range(3, 259):
 
 def _match_cost_bits(length, dist):
     """Approximate emitted bits for a match token: ~7-bit length code +
-    length extra + ~6-bit distance code + distance extra (log2(d)-2)."""
-    lex = jnp.asarray(_LEN_EXTRA_BY_LEN)
+    length extra + ~6-bit distance code + distance extra (log2(d)-2).
+
+    Length extra bits computed arithmetically (RFC 1951 symbol geometry:
+    floor(log2(len-3)) - 2 for len-3 >= 8, 0 otherwise, 0 for 258) — a
+    259-entry LUT gather here cost ~7 ms per 1 MB batch on v5e."""
+    n_ = jnp.maximum(length - 3, 0)
+    lex = jnp.where((n_ < 8) | (length >= 258), 0,
+                    jnp.maximum(_floor_log2(jnp.maximum(n_, 1)) - 2, 0))
     dex = jnp.maximum(_floor_log2(jnp.maximum(dist, 1)) - 2, 0)
-    return 13 + lex[jnp.clip(length, 0, 258)] + dex
+    return 13 + lex + dex
 
 
 def parse_take(length: jnp.ndarray, dist: jnp.ndarray, block_len: jnp.ndarray,
@@ -371,53 +377,75 @@ def parse_take(length: jnp.ndarray, dist: jnp.ndarray, block_len: jnp.ndarray,
     return ok & ((length >= good_length) | ~defer)
 
 
-def _walk_kernel(cnext_ref, length_ref, blen_ref, ms_ref, me_ref):
-    """Sequential match-to-match walk, 8 blocks per grid step (Pallas, TPU).
+def _make_walk_kernel(rows_per_block: int):
+    def _walk_kernel(cnext_hbm, length_hbm, blen_ref, out_ref, csm, lsm,
+                     osm, sem_c, sem_l, sem_o):
+        return _walk_body(cnext_hbm, length_hbm, blen_ref, out_ref, csm,
+                          lsm, osm, sem_c, sem_l, sem_o, rows_per_block)
+    return _walk_kernel
+
+
+def _walk_body(cnext_hbm, length_hbm, blen_ref, out_ref, csm, lsm,
+               osm, sem_c, sem_l, sem_o, rows_per_block):
+    """Sequential match-to-match walk, one block per grid step (Pallas, TPU).
 
     The reference's parse cursor (compress1/compress2 loop,
     src/deflator.c:2430-2973) visits every position; here literal runs are
     skipped entirely via cnext (next accepted-candidate at/or-after), so the
     loop runs once per EMITTED MATCH (<= bl/3 worst case, ~3k typical for a
-    64 KiB block). Outputs: match-start and match-end(exclusive) marks."""
+    64 KiB block). cnext/length stream through SMEM in chunks (scalar loads
+    run ~10 ns vs ~50 cycles for roll + vreg->sreg extracts — the round-2
+    version cost ~27 ms/MB); emitted match positions pack compactly into an
+    SMEM list (p | len<<17) DMA'd out, and the caller scatters the marks."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ms_ref[:] = jnp.zeros_like(ms_ref)
-    me_ref[:] = jnp.zeros_like(me_ref)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    W = ms_ref.shape[0] // 8           # 128-wide rows per block
+    CH = _WALK_CHUNK
+    b = pl.program_id(0)
+    blen = blen_ref[b]
 
-    # Mosaic only supports dynamic VMEM indexing on the sublane dim with full
-    # 128-lane rows: scalar load = dynamic-row load + rotate + lane-0 extract;
-    # scalar store = one-hot row RMW. Arrays are (8*W, 128), block r at rows
-    # [r*W, (r+1)*W), position p in row r*W + p//128, lane p%128.
-    def loadat(ref, rbase, p):
-        rowv = ref[pl.ds(rbase + (p >> 7), 1), :]
-        return pltpu.roll(rowv, -(p & 127), 1)[0, 0]
+    def fetch(p):
+        c0 = pl.multiple_of((p // CH) * (CH // 128), CH // 128)
+        cp1 = pltpu.make_async_copy(
+            cnext_hbm.at[pl.ds(b * rows_per_block + c0, CH // 128), :],
+            csm, sem_c)
+        cp1.start()
+        cp2 = pltpu.make_async_copy(
+            length_hbm.at[pl.ds(b * rows_per_block + c0, CH // 128), :],
+            lsm, sem_l)
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+        return (p // CH) * CH
 
-    def mark(ref, rbase, p):
-        r = rbase + (p >> 7)
-        old = ref[pl.ds(r, 1), :]
-        ref[pl.ds(r, 1), :] = old | (lane == (p & 127)).astype(jnp.int32)
+    def cond(c):
+        p, k, c0 = c
+        return p < blen
 
-    def row(r, _):
-        blen = blen_ref[pl.program_id(0) * 8 + r]
-        rbase = r * W
+    def body(c):
+        p, k, c0 = c
+        c0 = jax.lax.cond(p - c0 >= CH, lambda: fetch(p), lambda: c0)
+        q = p - c0
+        ln = lsm[q >> 7, q & 127]
+        osm[k >> 7, k & 127] = p | (ln << 17)
+        e = p + ln
+        c0 = jax.lax.cond(e - c0 >= CH, lambda: fetch(e), lambda: c0)
+        qe = e - c0
+        return csm[qe >> 7, qe & 127], k + 1, c0
 
-        def cond(p):
-            return p < blen
+    c00 = fetch(0)
+    q0 = csm[0, 0]
+    p, k, _ = jax.lax.while_loop(cond, body, (q0, jnp.int32(1), c00))
+    osm[0, 0] = k                 # slot 0 = count + 1
+    cp_o = pltpu.make_async_copy(
+        osm, out_ref.at[pl.ds(b * _WALK_OROWS, _WALK_OROWS), :], sem_o)
+    cp_o.start()
+    cp_o.wait()
 
-        def body(p):
-            ln = loadat(length_ref, rbase, p)
-            e = p + ln
-            mark(ms_ref, rbase, p)
-            mark(me_ref, rbase, e)
-            return loadat(cnext_ref, rbase, e)
 
-        jax.lax.while_loop(cond, body, loadat(cnext_ref, rbase, 0))
-        return 0
-
-    jax.lax.fori_loop(0, 8, row, 0)
+_WALK_CHUNK = 4096                # positions per SMEM chunk (16 KiB x2)
+_WALK_OROWS = 176                 # output rows per block (8-aligned; 176*128
+                                  # slots >= bl/3 worst-case match count)
 
 
 def token_marks_batch(length: jnp.ndarray, take: jnp.ndarray,
@@ -459,31 +487,54 @@ def token_marks_batch(length: jnp.ndarray, take: jnp.ndarray,
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    n = bl + padn
-    Bp = -(-B // 8) * 8               # blocks per grid step = 8 (sublane tile)
-    if Bp != B:
-        zp = ((0, Bp - B), (0, 0))
-        cnextp = jnp.pad(cnextp, zp, constant_values=bl)
-        lenp = jnp.pad(lenp, zp, constant_values=1)
-    blp = jnp.pad(block_len, (0, Bp - B)) if Bp != B else block_len
+    CH = _WALK_CHUNK
+    # pad the position axis so any chunk DMA stays in bounds
+    n = -(-(bl + padn) // CH) * CH + CH
+    extra = n - (bl + padn)
+    if extra:
+        cnextp = jnp.pad(cnextp, ((0, 0), (0, extra)), constant_values=bl)
+        lenp = jnp.pad(lenp, ((0, 0), (0, extra)), constant_values=1)
     W = n // 128
-    rows = pl.BlockSpec((8 * W, 128), lambda b: (b, 0),
-                        memory_space=pltpu.VMEM)
-    ms, me = pl.pallas_call(
-        _walk_kernel,
-        grid=(Bp // 8,),
+    assert _WALK_OROWS * 128 >= bl // 3 + 128, "match-list capacity"
+    cap = _WALK_OROWS * 128
+    plist = pl.pallas_call(
+        _make_walk_kernel(W),
+        grid=(B,),
         in_specs=[
-            rows, rows,
-            pl.BlockSpec((Bp,), lambda b: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=[rows, rows],
-        out_shape=[jax.ShapeDtypeStruct((Bp * W, 128), jnp.int32),
-                   jax.ShapeDtypeStruct((Bp * W, 128), jnp.int32)],
-    )(cnextp.reshape(Bp * W, 128), lenp.reshape(Bp * W, 128), blp)
-    ms = ms.reshape(Bp, n)
-    me = me.reshape(Bp, n)
-    active = jnp.cumsum(ms[:B] - me[:B], axis=1)[:, :bl]
-    is_match = ms[:B, :bl] > 0
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((B * _WALK_OROWS, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.SMEM((CH // 128, 128), jnp.int32),
+            pltpu.SMEM((CH // 128, 128), jnp.int32),
+            pltpu.SMEM((_WALK_OROWS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(cnextp.reshape(B * W, 128), lenp.reshape(B * W, 128), block_len)
+    plist = plist.reshape(B, cap)
+    # scatter the compact match lists back to position marks
+    cnt = jnp.maximum(plist[:, 0] - 1, 0)                      # per block
+    slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    livem = (slot >= 1) & (slot < plist[:, :1] )
+    mp = jnp.where(livem, plist & 0x1FFFF, bl)
+    mlen = jnp.where(livem, plist >> 17, 0)
+    bb = (jnp.arange(B, dtype=jnp.int32) * (bl + 1))[:, None]
+    flat_ms = jnp.zeros(B * (bl + 1), jnp.int32).at[
+        (bb + jnp.minimum(mp, bl)).reshape(-1)].add(
+        livem.astype(jnp.int32).reshape(-1), mode="drop")
+    flat_me = jnp.zeros(B * (bl + 1), jnp.int32).at[
+        (bb + jnp.minimum(mp + mlen, bl)).reshape(-1)].add(
+        livem.astype(jnp.int32).reshape(-1), mode="drop")
+    ms = flat_ms.reshape(B, bl + 1)[:, :bl]
+    me = flat_me.reshape(B, bl + 1)[:, :bl]
+    active = jnp.cumsum(ms - me, axis=1)
+    is_match = ms > 0
     live = pos < block_len[:, None]
     is_tok = (is_match | (active <= 0)) & live
     return is_tok, is_match & live
