@@ -1,10 +1,12 @@
 """jdeflate-tpu: a TPU-native DEFLATE (RFC 1951/1950/1952) framework.
 
 Built from scratch on JAX/XLA/Pallas with the capabilities of the reference
-C library Jpn666/jdeflate (see SURVEY.md): block-parallel deflate encoder,
-wavefront bit-parallel decoder, zlib/gzip framing with device-reduction
-checksums, preset dictionaries, sync-flush seams, multi-chip data-parallel
-scaling (jdeflate_tpu.parallel).
+C library Jpn666/jdeflate (see SURVEY.md): block-parallel deflate encoder
+emitting exact decode entry points for free, window-grid Pallas decode
+(one lane per 32 stream bits; ops/walk.py + ops/expand2.py), zlib/gzip
+framing with device-reduction checksums, bounded-memory streaming, preset
+dictionaries, sync-flush seams, FEXTRA self-indexing streams, multi-chip
+data-parallel scaling (jdeflate_tpu.parallel).
 
 Quick API:
     import jdeflate_tpu as jd

@@ -80,9 +80,9 @@ def test_checksum_combination_matches_zlib(corpus, mesh8):
 
 
 def test_members_device_decode(corpus):
-    """decompress_members must decode through the anchored device path when
-    the sharded encoder's per-member indexes are present (VERDICT: the
-    decode-side mirror of sharded encode; gzip members RFC 1952 §2.2)."""
+    """decompress_members must decode through the windowed device path when
+    the sharded encoder's per-member indexes are present (the decode-side
+    mirror of sharded encode; gzip members RFC 1952 §2.2)."""
     from jdeflate_tpu.codec import inflate as I
     from jdeflate_tpu.parallel.shard import ShardedDeflater, decompress_members
     data = corpus("text", 200_000) + corpus("binary", 100_000)
@@ -92,15 +92,15 @@ def test_members_device_decode(corpus):
     import gzip
     assert gzip.decompress(blob) == data
     calls = []
-    orig = I.decode_batch_anchored
+    orig = I.decode_batch_windows
     def spy(*a, **k):
         r = orig(*a, **k)
         calls.append(int(r[2]))
         return r
-    I.decode_batch_anchored = spy
+    I.decode_batch_windows = spy
     try:
         out = decompress_members(blob, info)
     finally:
-        I.decode_batch_anchored = orig
+        I.decode_batch_windows = orig
     assert out == data
     assert calls and all(e == 0 for e in calls)
