@@ -96,19 +96,21 @@ def _expand_kernel(lr_ref, regoff_ref, tok2d_hbm, buf_hbm, out_ref,
         curr = jnp.where(sel, rolled, curr)
         cursor = cursor + w1
 
+        # row-boundary crossing is the rare case (~once per 128 output
+        # bytes): spill, advance, and merge the tail inside one branch so
+        # the common path pays no second roll
+        w2 = w - w1
+
         def adv(args):
             curr, crow = args
             spill(crow, curr)
-            return load_row(crow + 1), crow + 1
+            curr = load_row(crow + 1)
+            rolled2 = pltpu.roll(two, -(srcoff + w1), 1)[:, :128]
+            curr = jnp.where(lane1 < w2, rolled2, curr)
+            return curr, crow + 1
 
         curr, crow = jax.lax.cond(
             doff + w1 >= 128, adv, lambda a: a, (curr, crow))
-        # second part (w crossed the row boundary)
-        w2 = w - w1
-        doff2 = jnp.int32(0)
-        rolled2 = pltpu.roll(two, -(srcoff + w1), 1)[:, :128]
-        sel2 = lane1 < w2
-        curr = jnp.where((w2 > 0) & sel2, rolled2, curr)
         return curr, crow, cursor + w2
 
     def lane_body(carry):
