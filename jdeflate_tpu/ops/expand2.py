@@ -36,10 +36,10 @@ from ..formats import constants as C
 from . import walk as wk
 
 HALO = C.WINDOW_SIZE                  # 32768
-REGION_OUT = 1 << 16                  # output bytes per grid step
+REGION_OUT = 1 << 18                  # output bytes per grid step
 LANE_MAX_OUT = wk.S_SLOTS * C.MAX_MATCH  # one lane's maximum output
-# stage rows: 32 alignment slack + 256 halo + 512 region + straddle, %32 == 0
-RROWS = 32 + 256 + 512 + (LANE_MAX_OUT // 128 + 2 + 30) // 32 * 32
+# stage rows: 32 alignment slack + 256 halo + region + straddle, %32 == 0
+RROWS = 32 + 256 + REGION_OUT // 128 + (LANE_MAX_OUT // 128 + 2 + 30) // 32 * 32
 TCHUNK_LANES = 512                    # token lanes per SMEM chunk
 TCH = TCHUNK_LANES * wk.S_SLOTS       # i32 tokens per chunk (16384 = 64 KiB)
 
