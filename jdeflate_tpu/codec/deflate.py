@@ -159,9 +159,9 @@ def _block_entropy(lfreq, dfreq, live, cfg: levels_mod.LevelConfig,
     dext_bits = jnp.asarray(C.DIST_EXTRA)
 
     # dynamic trees
-    dl = huffman.code_lengths(lfreq, C.MAX_CODE_BITS)
+    dl = huffman.code_lengths_pm(lfreq, C.MAX_CODE_BITS)
     _, dlr = huffman.canonical_codes(dl, C.MAX_CODE_BITS)
-    dd = huffman.code_lengths(dfreq, C.MAX_CODE_BITS)
+    dd = huffman.code_lengths_pm(dfreq, C.MAX_CODE_BITS)
     _, ddr = huffman.canonical_codes(dd, C.MAX_CODE_BITS)
 
     # header: HLIT/HDIST + combined length array + RLE
@@ -179,7 +179,7 @@ def _block_entropy(lfreq, dfreq, live, cfg: levels_mod.LevelConfig,
 
     pfreq = jnp.zeros(C.NUM_PRECODE, jnp.int32).at[rle_sym].add(
         rle_emit.astype(jnp.int32))
-    pl = huffman.code_lengths(pfreq, C.MAX_PRECODE_BITS)
+    pl = huffman.code_lengths_pm(pfreq, C.MAX_PRECODE_BITS)
     _, plr = huffman.canonical_codes(pl, C.MAX_PRECODE_BITS)
     porder = jnp.asarray(C.PRECODE_ORDER)
     pl_perm = pl[porder]
@@ -326,7 +326,7 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     length, dist = lz77.find_matches_batch(
         ext, block_len, valid_from, HALO, bl, PAD, max(cfg.probes, 1),
         ext_top=cfg.ext_top, ext_rounds=cfg.ext_rounds, rescue=cfg.rescue,
-        probe_words=cfg.probe_words)
+        probe_words=cfg.probe_words, ext_mdiv=cfg.ext_mdiv)
     take = lz77.parse_take(length, dist, block_len, cfg.lazy, cfg.good_length)
     # sequential-parse equivalent via the match-space walk (Pallas on TPU):
     # runs once per emitted match, not once per position

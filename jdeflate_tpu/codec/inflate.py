@@ -383,9 +383,10 @@ class RawInflater:
             (block_bytes[i + 1] if i + 1 < nblk else n_out) - block_bytes[i]
             for i in range(nblk)]
 
-        # headers: native parse when available, Python referee otherwise
+        # headers: ONE batched native call when available (decodednmc analog
+        # at O(batches) host/native calls), Python referee otherwise
         if native.available():
-            recs = [native.parse_block_header(raw, b) for b in block_bits]
+            recs = native.parse_block_headers(raw, block_bits)
         else:
             recs = [hi.parse_block_header(raw, b) for b in block_bits]
 

@@ -23,6 +23,7 @@ class LevelConfig:
     good_length: int   # lazy: accept immediately at or above this length
     ext_top: int = 8   # top-T distance passes in exact match extension
     ext_rounds: int = 4   # residual gather-compare rounds (16 bytes each)
+    ext_mdiv: int = 16    # residual compaction cap divisor (M = N/ext_mdiv)
     rescue: bool = False  # 3-byte secondary hash (deflator.c:49-70, levels>=6)
     probe_words: int = 8  # co-sorted prefix words (4B each) per candidate
     chunk: int = 8192     # block-splitter granularity (bytes of input)

@@ -147,6 +147,69 @@ def code_lengths(freqs: jnp.ndarray, max_bits: int) -> jnp.ndarray:
     return lengths
 
 
+def code_lengths_pm(freqs: jnp.ndarray, max_bits: int) -> jnp.ndarray:
+    """Optimal length-limited code lengths via boundary package-merge.
+
+    Drop-in replacement for `code_lengths` (same contract: the reference's
+    computelengths + limitlengths, src/deflator.c:991-1178) that is never
+    worse: package-merge minimizes sum(f*l) subject to the Kraft budget and
+    l <= max_bits exactly, where Huffman + overflow repair only approximates
+    under the limit.
+
+    TPU-first design: the two-queue scan in `code_lengths` runs n-1
+    sequential steps with dynamic-index scatters (measured 15.5 ms/MB vmapped
+    over 128 groups on v5e); here each of the max_bits levels is one
+    pairwise-sum + one 2n-wide sort + one cumsum, all vectorized, and the
+    taken-prefix counts come from a log-depth backward pass:
+      list_1 = sorted leaf weights; list_{l+1} = merge(leaves, adjacent-pair
+      sums of list_l); take n_L = 2m-2 items at the top, n_{l-1} = 2 *
+      (#packages among the first n_l of list_l); leaf of rank r gets length
+      #{l : r < #leaves among first n_l of list_l}.
+    vmap over blocks for batched use.
+    """
+    n = freqs.shape[0]
+    L = max_bits
+    f = freqs.astype(jnp.int32)
+    used = f > 0
+    m = jnp.sum(used.astype(jnp.int32))
+
+    key = jnp.where(used, f, _INF)
+    order = jnp.argsort(key, stable=True)      # used first, weight ascending
+    w = key[order]                             # (n,) leaf weights, INF padded
+    rank = jnp.arange(n, dtype=jnp.int32)
+    leaf_tag = (rank < m).astype(jnp.int32)
+
+    # level lists: width 2n covers |list_l| <= 2m-1 <= 2n-1
+    W = 2 * n
+    lw = jnp.concatenate([w, jnp.full((n,), _INF, jnp.int32)])
+    lt = jnp.concatenate([leaf_tag, jnp.zeros((n,), jnp.int32)])
+    A = []                                     # per-level leaf-count prefixes
+    A.append(jnp.cumsum(lt))
+    for _ in range(L - 1):
+        pk = jnp.minimum(lw[0::2] + lw[1::2], _INF)          # (n,) packages
+        merged_w = jnp.concatenate([w, pk])
+        merged_t = jnp.concatenate([leaf_tag, jnp.zeros((n,), jnp.int32)])
+        # leaves-first on weight ties (any consistent order is optimal)
+        k2 = merged_w * 2 + (1 - merged_t)
+        k2, lt = jax.lax.sort([k2, merged_t], num_keys=1)
+        lw = k2 >> 1
+        A.append(jnp.cumsum(lt))
+
+    # backward taken-prefix counts; a_l = leaves among the first n_l items
+    nl = jnp.maximum(2 * m - 2, 0)
+    lengths_sorted = jnp.zeros((n,), jnp.int32)
+    for l in range(L - 1, -1, -1):
+        al = jnp.where(nl > 0, A[l][jnp.maximum(nl - 1, 0)], 0)
+        lengths_sorted = lengths_sorted + (rank < al).astype(jnp.int32)
+        nl = 2 * (nl - al)
+
+    leaf_len = jnp.where(rank < m, lengths_sorted, 0)
+    # degenerate trees: force >=2 symbols (computelengths, deflator.c:1138-78)
+    leaf_len = jnp.where(m == 1, jnp.where(rank <= 1, 1, 0), leaf_len)
+    leaf_len = jnp.where(m == 0, 0, leaf_len)
+    return jnp.zeros((n,), jnp.int32).at[order].set(leaf_len)
+
+
 def canonical_codes(lengths: jnp.ndarray, max_bits: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Canonical codes for a length array: returns (codes_msb, codes_lsb_rev).
 

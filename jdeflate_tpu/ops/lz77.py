@@ -104,7 +104,7 @@ def find_matches_batch(ext: jnp.ndarray, block_len: jnp.ndarray,
                        valid_from: jnp.ndarray, halo: int, bl: int, pad: int,
                        k: int, exact_ext: bool = True, ext_top: int = 8,
                        ext_rounds: int = 4, rescue: bool = False,
-                       probe_words: int = 8):
+                       probe_words: int = 8, ext_mdiv: int = 16):
     """Best match per position for a whole batch of blocks at once.
 
     ext: (B, halo + bl + pad) u8 rows (halo history + block + zero pad).
@@ -286,7 +286,7 @@ def find_matches_batch(ext: jnp.ndarray, block_len: jnp.ndarray,
     # Overflowed slots keep the link-rule length — bounded ratio cost only.
     wflat = _words_le_flat(ext.reshape(-1), B, row)
     N = B * nh
-    M = max(N // 16, 1024)
+    M = max(N // ext_mdiv, 1024)
     pl = plen.reshape(-1)
     pd = pdist.reshape(-1)
     # halo columns' lengths are discarded by the final [:, halo:] slice;

@@ -316,6 +316,20 @@ int jd_parse_header(const u8* src, size_t srclen, i64 bit, u8* ll, u8* dl,
 //     granularity (the reference drives a 32 KiB window the same way,
 //     /root/reference/src/zstrm.c:792-958).
 // Returns JD_OK, 1 (partial), or a negative error.
+// Batched header parse: n blocks at absolute bit positions bits[0..n).
+// Outputs are strided: ll 288*n, dl 32*n, info 6*n; status[k] gets the
+// per-block JD_* code. One native call replaces n (decodednmc analog,
+// /root/reference/src/inflator.c:1103-1190, run once per block there).
+// Always returns JD_OK; the caller inspects status.
+int jd_parse_headers(const u8* src, size_t srclen, const i64* bits, i64 n,
+                     u8* ll, u8* dl, i64* info, int* status) {
+  for (i64 k = 0; k < n; k++) {
+    status[k] = jd_parse_header(src, srclen, bits[k], ll + 288 * k,
+                                      dl + 32 * k, info + 6 * k);
+  }
+  return JD_OK;
+}
+
 int jd_inflate(const u8* src, size_t srclen, i64 start_bit,
                const u8* dict, size_t dictlen,
                u8* dst, size_t dstcap, size_t* dstlen,

@@ -22,7 +22,8 @@ print("worker: connecting...", flush=True)
 t0 = time.time()
 print("worker: devices", jax.devices(), time.time() - t0, flush=True)
 
-seen = set()
+seen = set(p for p in glob.glob(os.path.join(JOBS, "*.py"))
+           if os.path.exists(p + ".out"))
 while True:
     for path in sorted(glob.glob(os.path.join(JOBS, "*.py"))):
         if path in seen:

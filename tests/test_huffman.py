@@ -108,3 +108,39 @@ def test_batched_build():
     for b in range(4):
         l = np.asarray(lengths[b])
         assert kraft(l) == 1 << 15
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_package_merge_never_worse_and_valid(seed):
+    """code_lengths_pm: Kraft == 1, depth-limited, cost <= two-queue+repair
+    (package-merge is exactly optimal under the limit)."""
+    rng = np.random.default_rng(seed)
+    for n, L in ((286, 15), (30, 15), (19, 7)):
+        for kind in range(5):
+            if kind == 0:
+                f = rng.integers(0, 100, n)
+            elif kind == 1:
+                f = (rng.random(n) < 0.1) * rng.integers(1, 10000, n)
+            elif kind == 2:
+                f = np.zeros(n, np.int64); f[rng.integers(0, n)] = 5
+            elif kind == 3:
+                f = np.zeros(n, np.int64)
+                k = int(rng.integers(2, n))
+                f[:k] = 2 ** rng.integers(0, 14, k)   # forces length limit
+            else:
+                f = np.ones(n, np.int64)
+            fj = jnp.asarray(f, jnp.int32)
+            l_new = np.asarray(hf.code_lengths_pm(fj, L))
+            l_old = np.asarray(hf.code_lengths(fj, L))
+            m = int((f > 0).sum())
+            assert l_new.max() <= L
+            if m >= 2:
+                assert np.all((l_new > 0) == (f > 0))
+                kraft = np.sum(1.0 / 2.0 ** l_new[l_new > 0])
+                assert abs(kraft - 1.0) < 1e-9
+                assert np.sum(f * l_new) <= np.sum(f * l_old)
+            elif m == 1:
+                assert (l_new > 0).sum() == 2
+                assert set(l_new[l_new > 0].tolist()) == {1}
+            else:
+                assert l_new.sum() == 0

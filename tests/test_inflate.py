@@ -186,3 +186,39 @@ class TestForeignIndexedDecode:
         dec = RawInflater()
         index = dec.build_index(raw)
         assert dec.decompress(raw, index=index) == data
+
+
+def test_native_batched_header_parse(corpus):
+    """parse_block_headers (one native call) == per-block parse_block_header
+    across stored/static/dynamic blocks (decodednmc analog; VERDICT r2 #7)."""
+    from jdeflate_tpu.stream import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    raw = b""
+    for part in (corpus("text", 40000), bytes(2000), corpus("random", 3000)):
+        raw += co.compress(part) + co.flush(zlib.Z_FULL_FLUSH)
+    raw += co.flush()
+    _, recs_all, _ = native.inflate(raw, want_index=True)
+    bits = [r.bit_offset for r in recs_all]
+    batched = native.parse_block_headers(raw, bits)
+    single = [native.parse_block_header(raw, b) for b in bits]
+    assert len(batched) == len(single) >= 2
+    for a, b in zip(batched, single):
+        assert a.btype == b.btype and a.bfinal == b.bfinal
+        assert a.sym_bit_offset == b.sym_bit_offset
+        assert a.out_len == b.out_len
+        if a.btype in (1, 2):
+            assert np.array_equal(a.litlen_lengths, b.litlen_lengths)
+            assert np.array_equal(a.dist_lengths, b.dist_lengths)
+
+
+def test_native_batched_header_parse_error(corpus):
+    from jdeflate_tpu.stream import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    data = corpus("text", 5000)
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    raw = co.compress(data) + co.flush()
+    with pytest.raises(errors.JDeflateError):
+        native.parse_block_headers(raw, [0, 8 * len(raw) - 2])
