@@ -339,11 +339,17 @@ def main():
         json.dump(details, f, indent=2)
 
     value = details["decode_GBps"] if ok else 0.0
+    # headline = wall GB/s (transfer-bound on the axon tunnel, see module
+    # docstring); device-compute GB/s rides along so both are in the driver
+    # record (VERDICT r2 item 2)
     print(json.dumps({
         "metric": "decode_GBps_level%d_silesia_like" % LEVEL,
         "value": round(value, 4),
         "unit": "GB/s",
         "vs_baseline": round(value / 2.0, 4),
+        "decode_device_GBps": details.get("decode_device_GBps"),
+        "encode_device_GBps": details.get("encode_device_GBps"),
+        "size_vs_jdeflate": details.get("size_vs_jdeflate"),
     }))
 
 

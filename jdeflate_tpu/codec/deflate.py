@@ -158,10 +158,33 @@ def _block_entropy(lfreq, dfreq, live, cfg: levels_mod.LevelConfig,
         [jnp.zeros(257, jnp.int32), jnp.asarray(C.LENGTH_EXTRA)])
     dext_bits = jnp.asarray(C.DIST_EXTRA)
 
-    # dynamic trees
-    dl = huffman.code_lengths_pm(lfreq, C.MAX_CODE_BITS)
+    # dynamic trees: package-merge minimizes the BODY bits exactly, but a
+    # different length multiset can cost more in the precode-RLE'd HEADER;
+    # at levels 8-9 (tree_both) both candidates are evaluated end-to-end and
+    # the cheaper total wins per group — never worse than either builder
+    # alone (measured: PM alone is +0.068% at level 9's 2 KiB groups).
+    def _with_trees(dl, dd):
+        ret = _entropy_with_trees(dl, dd, lfreq, dfreq, live, lext_bits,
+                                  dext_bits, fixed_codes)
+        return ret
+
+    dl1 = huffman.code_lengths_pm(lfreq, C.MAX_CODE_BITS)
+    dd1 = huffman.code_lengths_pm(dfreq, C.MAX_CODE_BITS)
+    out1, cost1 = _with_trees(dl1, dd1)
+    if not getattr(cfg, "tree_both", False):
+        return out1
+    dl2 = huffman.code_lengths(lfreq, C.MAX_CODE_BITS)
+    dd2 = huffman.code_lengths(dfreq, C.MAX_CODE_BITS)
+    out2, cost2 = _with_trees(dl2, dd2)
+    pick1 = cost1 <= cost2
+    return tuple(jnp.where(pick1, a, b) for a, b in zip(out1, out2))
+
+
+def _entropy_with_trees(dl, dd, lfreq, dfreq, live, lext_bits, dext_bits,
+                        fixed_codes):
+    """Header + emission tables + exact total cost for one candidate tree
+    pair (split out of _block_entropy so level 8-9 can compare builders)."""
     _, dlr = huffman.canonical_codes(dl, C.MAX_CODE_BITS)
-    dd = huffman.code_lengths_pm(dfreq, C.MAX_CODE_BITS)
     _, ddr = huffman.canonical_codes(dd, C.MAX_CODE_BITS)
 
     # header: HLIT/HDIST + combined length array + RLE
@@ -232,7 +255,7 @@ def _block_entropy(lfreq, dfreq, live, cfg: levels_mod.LevelConfig,
 
     eob_lo = jnp.where(live, er[C.EOB], 0)
     eob_nb = jnp.where(live, el[C.EOB], 0)
-    return hdr_lo, hdr_nb, el, er, edl, edr, eob_lo, eob_nb
+    return (hdr_lo, hdr_nb, el, er, edl, edr, eob_lo, eob_nb), dyn_cost
 
 
 def _split_dp(Pl, Pd, nch: int, c0=_SPLIT_HDR_C0, c1=_SPLIT_HDR_C1):
@@ -303,8 +326,11 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     cfg = levels_mod.get_level(level)
     nch = _nch(bl, cfg.chunk)
     CH = bl // nch
-    CS = 1 + HDR_ITEMS + CH       # chunk stride: [eob slot, hdr, tokens]
-    nitems = nch * CS + 1
+    CS = 1 + HDR_ITEMS + CH       # virtual per-position stride (anchors)
+    CHP = CH // 2                 # token slots pair-combined for pack()
+    CSP = 1 + HDR_ITEMS + CHP     # packed chunk stride
+    nitems = nch * CS + 1         # virtual (per-position) item count
+    nitemsp = nch * CSP + 1       # packed item count
     NL = C.NUM_LITLEN_USED
     ND = C.NUM_DIST_USED
     B = batch
@@ -356,18 +382,34 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
 
     lsym = jnp.where(t_take, lsym_m, t_lit)
 
-    # ---- per-chunk frequencies (two flat scatter-adds over the batch) ----
-    vi = is_tok.astype(jnp.int32)
+    # ---- per-chunk frequencies (one-hot matmuls on the MXU) ----
+    # freq[c, s] = sum_p [sym_p == s] is a gather/scatter-free contraction:
+    # factor the 286-symbol litlen alphabet as s = hi*16 + lo (18 x 16) so
+    # the one-hot operands stay small, then freq = A^T @ (B * v) rides the
+    # MXU (the flat scatter-add this replaces ran ~9 ms/MB at 0.14 G elem/s
+    # on v5e; counts <= CH are exact in f32 accumulation). The same A/B
+    # one-hots are reused by the code-lookup contraction below.
     pos = jnp.arange(bl, dtype=jnp.int32)[None, :]
-    chunk_of_pos = pos // CH                                     # (1, bl)
-    cidx = jnp.arange(B, dtype=jnp.int32)[:, None] * nch + chunk_of_pos
-    lfreq_c = jnp.zeros(B * nch * NL, jnp.int32).at[
-        (cidx * NL + jnp.where(is_tok, lsym, 0)).reshape(-1)].add(
-        vi.reshape(-1)).reshape(B, nch, NL)
-    mt = (t_take & is_tok).astype(jnp.int32)
-    dfreq_c = jnp.zeros(B * nch * ND, jnp.int32).at[
-        (cidx * ND + jnp.where(t_take, dsym, 0)).reshape(-1)].add(
-        mt.reshape(-1)).reshape(B, nch, ND)
+    NHI = 18                                   # ceil(286 / 16)
+    ls_c = lsym.reshape(B * nch, CH)
+    hi5 = (ls_c >> 4).astype(jnp.int32)
+    lo4 = (ls_c & 15).astype(jnp.int32)
+    ghi = jnp.arange(NHI, dtype=jnp.int32)
+    glo = jnp.arange(16, dtype=jnp.int32)
+    A_hi = (hi5[:, :, None] == ghi[None, None, :]).astype(jnp.bfloat16)
+    B_lo = (lo4[:, :, None] == glo[None, None, :]).astype(jnp.bfloat16)
+    v_tok = is_tok.reshape(B * nch, CH).astype(jnp.bfloat16)
+    lf2 = jnp.einsum("cpg,cpj->cgj", A_hi, B_lo * v_tok[:, :, None],
+                     preferred_element_type=jnp.float32)
+    lfreq_c = lf2.reshape(B, nch, NHI * 16)[
+        :, :, :NL].astype(jnp.int32)
+    ds_c = dsym.reshape(B * nch, CH)
+    gds = jnp.arange(ND, dtype=jnp.int32)
+    D_oh = (ds_c[:, :, None] == gds[None, None, :]).astype(jnp.bfloat16)
+    mt = (t_take & is_tok).reshape(B * nch, CH).astype(jnp.bfloat16)
+    dfreq_c = jnp.einsum("cps,cp->cs", D_oh, mt,
+                         preferred_element_type=jnp.float32)
+    dfreq_c = dfreq_c.reshape(B, nch, ND).astype(jnp.int32)
 
     # ---- adaptive split (entropy DP over chunk histograms) ----
     zl = jnp.zeros((B, 1, NL), jnp.int32)
@@ -421,11 +463,30 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     eob_nb_a = jnp.take_along_axis(eob_nb.reshape(B, nch), gs, 1)
     live_a = jnp.take_along_axis(live_g, gs, 1)                      # (B, nch)
 
-    # two packed code lookups per position: litlen (codes<<4|len) and dist
+    # two packed code lookups per position: litlen (codes<<4|len) and dist.
+    # Gather-free: le[c,p] = sum_g A[p,g] * (sum_j B[p,j] * T[c,g,j]) — the
+    # factored one-hots select the table entry via two small contractions
+    # (each sum has exactly one nonzero term and entries < 2^20, so f32 is
+    # exact; the 1M-wide gather this replaces ran ~7 ms/MB).
     lpack = (er_a << 4) | el_a.astype(jnp.uint32)          # (B, nch, 286)
     dpack = (edr_a << 4) | edl_a.astype(jnp.uint32)        # (B, nch, 30)
-    le = lpack.reshape(-1)[(cidx * NL + lsym).reshape(-1)].reshape(B, bl)
-    de = dpack.reshape(-1)[(cidx * ND + dsym).reshape(-1)].reshape(B, bl)
+    Tl = jnp.zeros((B * nch, NHI * 16), jnp.float32).at[:, :NL].set(
+        lpack.reshape(B * nch, NL).astype(jnp.float32)).reshape(
+        B * nch, NHI, 16)
+    # Precision.HIGHEST (bf16x3) is exact here: one-hot entries are exactly
+    # 1.0 and table entries < 2^20 decompose exactly into three 8-bit bf16
+    # mantissa chunks; the TPU default (single-pass bf16) is NOT exact and
+    # corrupts codes
+    HI = jax.lax.Precision.HIGHEST
+    Cl = jnp.einsum("cpj,cgj->cpg", B_lo.astype(jnp.float32), Tl,
+                    precision=HI, preferred_element_type=jnp.float32)
+    le_f = jnp.einsum("cpg,cpg->cp", A_hi.astype(jnp.float32), Cl,
+                      precision=HI, preferred_element_type=jnp.float32)
+    le = le_f.astype(jnp.uint32).reshape(B, bl)
+    de_f = jnp.einsum("cps,cs->cp", D_oh.astype(jnp.float32),
+                      dpack.reshape(B * nch, ND).astype(jnp.float32),
+                      precision=HI, preferred_element_type=jnp.float32)
+    de = de_f.astype(jnp.uint32).reshape(B, bl)
     lcode = le >> 4
     llen = (le & 15).astype(jnp.int32)
     dcode = de >> 4
@@ -442,10 +503,20 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     tv_hi = jnp.where(t_take, m_hi, 0)
     tv_n = jnp.where(is_tok, jnp.where(t_take, m_n, llen), 0)
 
-    # ---- item assembly: (B, nch, CS) = [eob slot | header | CH tokens] ----
-    ch_lo = jnp.zeros((B, nch, CS), jnp.uint32)
-    ch_hi = jnp.zeros((B, nch, CS), jnp.uint32)
-    ch_nb = jnp.zeros((B, nch, CS), jnp.int32)
+    # ---- pair-combine adjacent token slots (any adjacent pair <= 63 bits:
+    # a match start is followed by a covered 0-bit position; worst case
+    # literal + match start = 15 + 48) — halves pack()'s item count, whose
+    # boundary scatter scales with N (measured 9.8 ms at 1.1M items) ----
+    tvm_lo = jnp.where(tv_n > 0, tv_lo, 0)
+    tvm_hi = jnp.where(tv_n > 0, tv_hi, 0)
+    tvp_lo, tvp_hi, tvp_n = bitpack.combine64(
+        tvm_lo[:, 0::2], tvm_hi[:, 0::2], tv_n[:, 0::2],
+        tvm_lo[:, 1::2], tvm_hi[:, 1::2], tv_n[:, 1::2])
+
+    # ---- item assembly: (B, nch, CSP) = [eob slot | header | CH/2 pairs] ----
+    ch_lo = jnp.zeros((B, nch, CSP), jnp.uint32)
+    ch_hi = jnp.zeros((B, nch, CSP), jnp.uint32)
+    ch_nb = jnp.zeros((B, nch, CSP), jnp.int32)
     # eob slot c: previous group's EOB, emitted where a new group starts
     prev_eob_lo = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.uint32), eob_lo_a[:, :-1]], 1)
@@ -458,19 +529,17 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     ch_nb = ch_nb.at[:, :, 0].set(jnp.where(eob_emit, prev_eob_nb, 0))
     ch_lo = ch_lo.at[:, :, 1:1 + HDR_ITEMS].set(hdr_lo)
     ch_nb = ch_nb.at[:, :, 1:1 + HDR_ITEMS].set(hdr_nb)
-    ch_lo = ch_lo.at[:, :, 1 + HDR_ITEMS:].set(
-        jnp.where(tv_n > 0, tv_lo, 0).reshape(B, nch, CH))
-    ch_hi = ch_hi.at[:, :, 1 + HDR_ITEMS:].set(
-        jnp.where(tv_n > 0, tv_hi, 0).reshape(B, nch, CH))
-    ch_nb = ch_nb.at[:, :, 1 + HDR_ITEMS:].set(tv_n.reshape(B, nch, CH))
+    ch_lo = ch_lo.at[:, :, 1 + HDR_ITEMS:].set(tvp_lo.reshape(B, nch, CHP))
+    ch_hi = ch_hi.at[:, :, 1 + HDR_ITEMS:].set(tvp_hi.reshape(B, nch, CHP))
+    ch_nb = ch_nb.at[:, :, 1 + HDR_ITEMS:].set(tvp_n.reshape(B, nch, CHP))
     # final slot: last group's EOB
     fin_lo = jnp.where(live_a[:, -1], eob_lo_a[:, -1], 0)
     fin_nb = jnp.where(live_a[:, -1], eob_nb_a[:, -1], 0)
-    lo = jnp.concatenate([ch_lo.reshape(B, nch * CS), fin_lo[:, None]], 1)
-    hi = jnp.concatenate([ch_hi.reshape(B, nch * CS),
+    lo = jnp.concatenate([ch_lo.reshape(B, nch * CSP), fin_lo[:, None]], 1)
+    hi = jnp.concatenate([ch_hi.reshape(B, nch * CSP),
                           jnp.zeros((B, 1), jnp.uint32)], 1)
-    nb = jnp.concatenate([ch_nb.reshape(B, nch * CS), fin_nb[:, None]], 1)
-    ntok = jnp.sum(vi)
+    nb = jnp.concatenate([ch_nb.reshape(B, nch * CSP), fin_nb[:, None]], 1)
+    ntok = jnp.sum(is_tok.astype(jnp.int32))
 
     # ---- stored-block fallback (compress0 semantics, deflator.c:796-926) ----
     # A stored block costs 3 hdr bits + pad-to-byte + 32 LEN/NLEN bits + 8n,
@@ -501,9 +570,9 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     lennlen1 = (len1 | ((len1 ^ 0xFFFF) << 16)).astype(jnp.uint32)
     lennlen2 = (len2 | ((len2 ^ 0xFFFF) << 16)).astype(jnp.uint32)
     has2 = len2 > 0
-    s_lo = jnp.zeros((B, nch, CS), jnp.uint32)
-    s_hi = jnp.zeros((B, nch, CS), jnp.uint32)
-    s_nb = jnp.zeros((B, nch, CS), jnp.int32)
+    s_lo = jnp.zeros((B, nch, CSP), jnp.uint32)
+    s_hi = jnp.zeros((B, nch, CSP), jnp.uint32)
+    s_nb = jnp.zeros((B, nch, CSP), jnp.int32)
     hdr_v = jnp.where(has2, 0, bfinal).astype(jnp.uint32)
     s_lo = s_lo.at[:, 0, 1].set(hdr_v)
     s_nb = s_nb.at[:, 0, 1].set(jnp.where(block_len > 0, 3, 0))
@@ -523,14 +592,20 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
         s_nb = s_nb.at[:, c2, 0].set(jnp.where(has2, 40, 0))
     blk_bytes = ext[:, HALO:HALO + bl].astype(jnp.uint32)
     jpos = pos                                    # (1, bl) global byte index
-    s_lo = s_lo.at[:, :, 1 + HDR_ITEMS:].set(blk_bytes.reshape(B, nch, CH))
+    live_b = (jpos < block_len[:, None])
+    # paired raw bytes (dead positions are a suffix, so live0 >= live1)
+    b0 = jnp.where(live_b, blk_bytes, 0)[:, 0::2]
+    b1 = jnp.where(live_b, blk_bytes, 0)[:, 1::2]
+    s_lo = s_lo.at[:, :, 1 + HDR_ITEMS:].set(
+        (b0 | (b1 << 8)).reshape(B, nch, CHP))
     s_nb = s_nb.at[:, :, 1 + HDR_ITEMS:].set(
-        jnp.where(jpos < block_len[:, None], 8, 0).reshape(B, nch, CH))
-    s_lo_f = jnp.concatenate([s_lo.reshape(B, nch * CS),
+        (8 * (live_b[:, 0::2].astype(jnp.int32)
+              + live_b[:, 1::2].astype(jnp.int32))).reshape(B, nch, CHP))
+    s_lo_f = jnp.concatenate([s_lo.reshape(B, nch * CSP),
                               jnp.zeros((B, 1), jnp.uint32)], 1)
-    s_hi_f = jnp.concatenate([s_hi.reshape(B, nch * CS),
+    s_hi_f = jnp.concatenate([s_hi.reshape(B, nch * CSP),
                               jnp.zeros((B, 1), jnp.uint32)], 1)
-    s_nb_f = jnp.concatenate([s_nb.reshape(B, nch * CS),
+    s_nb_f = jnp.concatenate([s_nb.reshape(B, nch * CSP),
                               jnp.zeros((B, 1), jnp.int32)], 1)
 
     sel = use_stored[:, None]
@@ -541,11 +616,32 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     words, offs, total = bitpack.pack(
         lo.reshape(-1), hi.reshape(-1), nb.reshape(-1), num_words)
     per_block_bits = jnp.sum(nb, axis=1)
-    offs2 = offs.reshape(B, nitems)
+    offs2p = offs.reshape(B, nitemsp)
 
     # per-chunk header bit offsets (index entries for parallel decode)
-    hdr_idx = (ci * CS + 1)[None, :] * jnp.ones((B, 1), jnp.int32)
-    hdr_off = jnp.take_along_axis(offs2, hdr_idx, 1)                 # (B, nch)
+    hdr_idx = (ci * CSP + 1)[None, :] * jnp.ones((B, 1), jnp.int32)
+    hdr_off = jnp.take_along_axis(offs2p, hdr_idx, 1)                # (B, nch)
+
+    # reconstruct per-POSITION offsets/widths in the virtual (unpaired)
+    # layout for the window-anchor scan: the odd position of a pair sits
+    # n_even bits after the pair's offset
+    nb_pos = jnp.where(use_stored[:, None],
+                       jnp.where(live_b, 8, 0), tv_n)               # (B, bl)
+    off3 = offs2p[:, :nitemsp - 1].reshape(B, nch, CSP)
+    tok_off_p = off3[:, :, 1 + HDR_ITEMS:]                          # (B,nch,CHP)
+    n_even = nb_pos[:, 0::2].reshape(B, nch, CHP)
+    tok_off = jnp.stack([tok_off_p, tok_off_p + n_even],
+                        axis=-1).reshape(B, nch, CH)
+    offs2 = jnp.concatenate([
+        jnp.concatenate([off3[:, :, :1 + HDR_ITEMS], tok_off],
+                        axis=2).reshape(B, nch * CS),
+        offs2p[:, -1:]], axis=1)                                    # (B,nitems)
+    nb3 = nb[:, :nitemsp - 1].reshape(B, nch, CSP)
+    nbv = jnp.concatenate([
+        jnp.concatenate([nb3[:, :, :1 + HDR_ITEMS],
+                         nb_pos.reshape(B, nch, CH)],
+                        axis=2).reshape(B, nch * CS),
+        nb[:, -1:]], axis=1)
 
     # ---- window anchors for the parallel walk (ops/walk.py) ----
     # The stream is cut on a 32-bit word grid anchored at each group's first
@@ -564,7 +660,7 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     kind[nitems - 1] = 2
     sc_np[nitems - 1] = nch - 1
 
-    sym_mask = (nb > 0) & (kind[None, :] > 0)
+    sym_mask = (nbv > 0) & (kind[None, :] > 0)
     # group sym-start offset, per chunk (the group that owns chunk c)
     gso = jnp.take_along_axis(offs2, gs * CS + 1 + HDR_ITEMS, axis=1)
     gsc = gs[:, sc_np]                            # (B, nitems) owning start chunk

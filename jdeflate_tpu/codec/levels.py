@@ -27,6 +27,7 @@ class LevelConfig:
     rescue: bool = False  # 3-byte secondary hash (deflator.c:49-70, levels>=6)
     probe_words: int = 8  # co-sorted prefix words (4B each) per candidate
     chunk: int = 8192     # block-splitter granularity (bytes of input)
+    tree_both: bool = False  # evaluate PM + two-queue trees, pick cheaper
     split_c0: float = 120.0   # split DP header-cost estimate: constant bits
     split_c1: float = 5.5     # ... + per-distinct-symbol bits
 
@@ -34,7 +35,12 @@ class LevelConfig:
 _CHAIN = {1: 2, 2: 8, 3: 16, 4: 32, 5: 128, 6: 48, 7: 128, 8: 320, 9: 512}
 _PROBE_CAP = {1: 2, 2: 8, 3: 16, 4: 24, 5: 32, 6: 48, 7: 128, 8: 320, 9: 512}
 _EXT_TOP = {1: 8, 2: 8, 3: 8, 4: 8, 5: 8, 6: 8, 7: 8, 8: 16, 9: 16}
-_EXT_ROUNDS = {1: 4, 2: 4, 3: 4, 4: 4, 5: 4, 6: 4, 7: 6, 8: 8, 9: 16}
+# Residual-extension budget tuned by measurement (scripts/jobs/48_ext_tune):
+# at level 6, (rounds 2, mdiv 64) costs +0.05% size for -24 ms/MB device
+# time (0.9816x -> 0.9821x oracle); levels 8-9 keep the full budget — the
+# level-9 parity margin is only ~0.04%.
+_EXT_ROUNDS = {1: 2, 2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 4, 8: 8, 9: 16}
+_EXT_MDIV = {1: 64, 2: 64, 3: 64, 4: 64, 5: 64, 6: 64, 7: 32, 8: 16, 9: 16}
 
 
 def get_level(level: int) -> LevelConfig:
@@ -57,6 +63,7 @@ def get_level(level: int) -> LevelConfig:
         good_length=259,
         ext_top=_EXT_TOP[level],
         ext_rounds=_EXT_ROUNDS[level],
+        ext_mdiv=_EXT_MDIV[level],
         rescue=level >= 6,
         probe_words=16 if level >= 8 else 8,
         # levels 8-9 pay maximum effort for ratio: 2 KiB splitter granularity
@@ -66,4 +73,7 @@ def get_level(level: int) -> LevelConfig:
         # 23_level9_diag.py)
         chunk=2048 if level >= 8 else 8192,
         split_c0=140.0 if level >= 8 else 120.0,
+        # max-effort levels compare both tree builders per group (package-
+        # merge optimizes body bits; two-queue sometimes wins on header RLE)
+        tree_both=level >= 8,
     )

@@ -33,6 +33,24 @@ def append_bits(lo: jnp.ndarray, hi: jnp.ndarray, n: jnp.ndarray,
     return lo2, hi2, n + nb
 
 
+def combine64(lo1, hi1, n1, lo2, hi2, n2):
+    """Concatenate two LSB-first bit strings into one (n1 + n2 <= 64).
+
+    Lets the encoder pair-combine adjacent token slots before pack(): any
+    two adjacent DEFLATE positions fit 64 bits (a match start is followed by
+    a covered 0-bit slot; worst case literal+match = 15+48 = 63), and the
+    pack scatter cost scales with item count.
+    """
+    n1u = n1.astype(jnp.uint32)
+    s = jnp.minimum(n1u, 31)
+    lt32 = n1u < 32
+    lo = lo1 | jnp.where(lt32, lo2 << s, 0)
+    carry = jnp.where((n1u > 0) & lt32, lo2 >> jnp.minimum(32 - n1u, 31), 0)
+    hi = hi1 | jnp.where(lt32, (hi2 << s) | carry,
+                         lo2 << jnp.minimum(n1u - 32, 31))
+    return lo, hi, n1 + n2
+
+
 def pack(lo: jnp.ndarray, hi: jnp.ndarray, nbits: jnp.ndarray, num_words: int):
     """Pack items into a u32 word array.
 
