@@ -779,6 +779,12 @@ class RawDeflater:
 
     def __init__(self, level: int = 6, block_size: int = 1 << 16,
                  batch: int = 16, fixed_codes: bool = False):
+        # the jitted pipeline reshapes blocks into even-sized half-chunks
+        # (pair-combined pack items), so block_size must be even; the
+        # splitter also assumes whole chunks per block at splitting levels
+        if block_size < 256 or block_size % 2:
+            raise ValueError(
+                f"block_size must be even and >= 256, got {block_size}")
         self.level = level
         self.bl = block_size
         self.batch = batch

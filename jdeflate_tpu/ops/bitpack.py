@@ -40,6 +40,13 @@ def combine64(lo1, hi1, n1, lo2, hi2, n2):
     two adjacent DEFLATE positions fit 64 bits (a match start is followed by
     a covered 0-bit slot; worst case literal+match = 15+48 = 63), and the
     pack scatter cost scales with item count.
+
+    INPUT INVARIANT (caller must guarantee): bits of (lo, hi) at positions
+    >= n must be ZERO for both operands, n1 + n2 <= 64, and n2 <= 32
+    whenever n1 >= 32 (hi2 is dropped on that branch — legal only because
+    the second item then fits in lo2). emit64 produces values satisfying
+    this; any new call site must mask accordingly or the packed bitstream
+    silently corrupts.
     """
     n1u = n1.astype(jnp.uint32)
     s = jnp.minimum(n1u, 31)

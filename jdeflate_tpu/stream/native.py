@@ -36,12 +36,23 @@ _ERRORS = {
 _META_FIELDS = 11  # i64 per BlockMeta record
 
 
+def _src_hash() -> str:
+    import hashlib
+    try:
+        with open(_SRC, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()
+    except OSError:
+        return ""
+
+
 def _build() -> str | None:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
     try:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC],
             check=True, capture_output=True, timeout=120)
+        with open(_SO + ".hash", "w") as f:
+            f.write(_src_hash())
         return _SO
     except Exception:
         return None
@@ -53,8 +64,14 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        fresh = (os.path.exists(_SO) and (not os.path.exists(_SRC)
-                 or os.path.getmtime(_SO) >= os.path.getmtime(_SRC)))
+        # freshness by content hash: mtimes lie after git checkouts
+        fresh = False
+        if os.path.exists(_SO):
+            try:
+                with open(_SO + ".hash") as f:
+                    fresh = f.read().strip() == _src_hash()
+            except OSError:
+                fresh = not os.path.exists(_SRC)
         path = _SO if fresh else _build()
         if path is None:
             return None
