@@ -232,10 +232,21 @@ def decode_batch_windows(words, pe_word0, pe_tab, alanes, ll, dl, halo, hist,
     err_w = err_w + jnp.sum(far.astype(jnp.int32))
 
     if use_pallas:
-        from ..ops import expand2 as ex2
-        tok_ann = wk.annotate_lit_runs(tok_lm)
-        out, produced = ex2.expand_tokens(tok_ann, outlen, halo, out_cap)
-        aerr = (produced > out_cap).astype(jnp.int32)
+        import os
+        if os.environ.get("JDT_EXPAND") == "3":
+            # v4 MXU batch engine (ops/expand3.py): fully vectorized, no
+            # scalar work per token — currently ~18 ms/2MB vs v3's ~14.5,
+            # dominated by dependency sub-rounds on deep-chain data; opt-in
+            # until it beats v3 (see scripts/jobs/ROUND4_NOTES.md)
+            from ..ops import expand3 as ex3
+            out, produced, kerr = ex3.expand_tokens(
+                tok_lm, outlen, halo, out_cap)
+            aerr = kerr + (produced > out_cap).astype(jnp.int32)
+        else:                                        # v3 serial-walk kernel
+            from ..ops import expand2 as ex2
+            tok_ann = wk.annotate_lit_runs(tok_lm)
+            out, produced = ex2.expand_tokens(tok_ann, outlen, halo, out_cap)
+            aerr = (produced > out_cap).astype(jnp.int32)
     else:
         o_len = len2.reshape(-1)
         o_lit = jnp.where(kind2 == wk.TOK_LIT,

@@ -1,0 +1,131 @@
+"""Round-4: ablate the MXU batch-expand skeleton — where do the 3.2us go?
+Variants: baseline, no compare rounds, double fetch, window 256, no write,
+256-item batches.
+"""
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo/scripts")
+sys.path.insert(0, "/root/repo")
+from devtime import measure_cycled
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+rng = np.random.default_rng(0)
+RB = 2304
+NBATCH = 512
+
+
+def make_skel(NB, WROWS, ncmp, nfetch, do_write):
+    def skel_kernel(items_ref, b_ref, bo_ref, sig_ref):
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (NB, WROWS), 1)
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (NB, 128), 1)
+        sig_ref[...] = jnp.zeros((32, 128), jnp.float32)
+
+        def body(bi, carry):
+            nrow = NB // 128
+            items = items_ref[pl.ds(bi * 4 * nrow, 4 * nrow), :]
+            dst = items[0:nrow, :].reshape(NB, 1)
+            src = items[nrow:2 * nrow, :].reshape(NB, 1)
+            w = items[2 * nrow:3 * nrow, :].reshape(NB, 1)
+            dcol = dst
+            scol = src
+            for _ in range(ncmp):
+                cmpm = (dcol.reshape(1, NB) <= scol).astype(jnp.int32)
+                cov = jnp.sum(cmpm, axis=1, keepdims=True)
+                scol = scol - (cov & 63)
+
+            base = pl.multiple_of(((bi * 16) >> 4) << 4, 16)
+            acc = jnp.zeros((NB, 128), jnp.float32)
+            for f in range(nfetch):
+                win = bo_ref[pl.ds(base, WROWS), :]
+                srow = jnp.clip((scol + f - base * 128) >> 7, 0, WROWS - 2)
+                oh1 = (iota_w == srow).astype(jnp.bfloat16)
+                oh2 = (iota_w == srow + 1).astype(jnp.bfloat16)
+                f1 = jnp.dot(oh1, win, preferred_element_type=jnp.float32)
+                f2 = jnp.dot(oh2, win, preferred_element_type=jnp.float32)
+                idx = (scol & 127) + iota_n
+                g1 = jnp.take_along_axis(f1, idx & 127, axis=1)
+                g2 = jnp.take_along_axis(f2, idx & 127, axis=1)
+                acc = acc + jnp.where(idx < 128, g1, g2)
+            bytes_ = acc
+            rot = jnp.take_along_axis(bytes_, (iota_n - (dcol & 127)) & 127,
+                                      axis=1)
+            m1 = (iota_n >= (dcol & 127)) & (iota_n < (dcol & 127) + w)
+            c1 = jnp.where(m1, rot, 0.0).astype(jnp.bfloat16)
+            m2 = iota_n < (dcol & 127) + w - 128
+            c2 = jnp.where(m2, rot, 0.0).astype(jnp.bfloat16)
+
+            wbase = pl.multiple_of((((bi * 16) + 256) >> 4) << 4, 16)
+            drow = jnp.clip((dcol - wbase * 128) >> 7, 0, 30)
+            iota_wr = jax.lax.broadcasted_iota(jnp.int32, (32, NB), 1)
+            ohw1 = (iota_wr == drow.reshape(1, NB)).astype(jnp.bfloat16)
+            ohw2 = (iota_wr == (drow + 1).reshape(1, NB)).astype(jnp.bfloat16)
+            delta = (jnp.dot(ohw1, c1, preferred_element_type=jnp.float32)
+                     + jnp.dot(ohw2, c2, preferred_element_type=jnp.float32))
+            covm = (jnp.dot(ohw1,
+                            jnp.where(m1, 1.0, 0.0).astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(ohw2,
+                              jnp.where(m2, 1.0, 0.0).astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32))
+            old = bo_ref[pl.ds(wbase, 32), :].astype(jnp.float32)
+            new = jnp.where(covm > 0, delta, old)
+            if do_write:
+                bo_ref[pl.ds(wbase, 32), :] = new.astype(jnp.bfloat16)
+            sig_ref[...] += new
+            return carry
+
+        jax.lax.fori_loop(0, NBATCH, body, jnp.float32(0))
+
+    def skel(items, b0):
+        return pl.pallas_call(
+            skel_kernel,
+            out_shape=[jax.ShapeDtypeStruct((RB, 128), jnp.bfloat16),
+                       jax.ShapeDtypeStruct((32, 128), jnp.float32)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                       pl.BlockSpec(memory_space=pltpu.VMEM)],
+            input_output_aliases={1: 0},
+        )(items, b0)
+    return skel
+
+
+def timeit(name, sets, fn, iters=16, items_per_call=None):
+    try:
+        t = measure_cycled(sets, fn, iters=iters)
+        per = ""
+        if items_per_call:
+            per = (f"  per-128-items {t / items_per_call * 128 * 1e9:.0f} ns"
+                   f"  -> {t * (143000 / items_per_call) * 1e3:.2f} ms/2MB")
+        print(f"{name}: {t * 1e3:.3f} ms{per}", flush=True)
+        return t
+    except Exception as e:
+        print(f"{name}: FAIL {type(e).__name__} {str(e)[:250]}", flush=True)
+        return None
+
+
+def mksets(nb):
+    return [(jnp.asarray(rng.integers(0, 1 << 16,
+                                      (NBATCH * 4 * (nb // 128), 128)),
+                         jnp.int32),
+             jnp.asarray(rng.integers(0, 256, (RB, 128)), jnp.int32).astype(
+                 jnp.bfloat16)) for _ in range(2)]
+
+
+cfgs = [
+    ("base NB128 W416 c2 f1 wr", 128, 416, 2, 1, True),
+    ("nocmp NB128 W416 c0 f1 wr", 128, 416, 0, 1, True),
+    ("fetch2 NB128 W416 c2 f2 wr", 128, 416, 2, 2, True),
+    ("win256 NB128 W256 c2 f1 wr", 128, 256, 2, 1, True),
+    ("nowrite NB128 W416 c2 f1", 128, 416, 2, 1, False),
+    
+]
+for name, nb, wr, nc, nf, dw in cfgs * 2:
+    timeit(name, mksets(nb), make_skel(nb, wr, nc, nf, dw),
+           items_per_call=NBATCH * nb)
+print("done")
