@@ -138,11 +138,9 @@ def _assemble_pallas(o_len, o_lit, o_dist, halo, out_cap: int,
     return out, produced, err
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "npe", "ne", "out_cap", "use_pallas"))
-def decode_batch_windows(words, pe_word0, pe_tab, alanes, ll, dl, halo, hist,
-                         npe: int, ne: int, out_cap: int,
-                         use_pallas: bool = False):
+def _decode_batch_windows_impl(words, pe_word0, pe_tab, alanes, ll, dl,
+                               halo, hist, npe: int, ne: int, out_cap: int,
+                               use_pallas: bool = False):
     """Window-parallel decode: one lane per 32-bit stream window, exact
     entry points from the index's window anchors (ops/walk.py design).
 
@@ -258,6 +256,71 @@ def decode_batch_windows(words, pe_word0, pe_tab, alanes, ll, dl, halo, hist,
     nwin = jax.lax.dynamic_slice(
         cat, (jnp.clip(produced, 0, out_cap),), (HALO,))
     return out, produced, err_w + aerr, nwin
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "npe", "ne", "out_cap", "use_pallas"))
+def decode_batch_windows(words, pe_word0, pe_tab, alanes, ll, dl, halo, hist,
+                         npe: int, ne: int, out_cap: int,
+                         use_pallas: bool = False):
+    return _decode_batch_windows_impl(
+        words, pe_word0, pe_tab, alanes, ll, dl, halo, hist,
+        npe, ne, out_cap, use_pallas)
+
+
+def _decode_from_meta(words_full, meta, halo,
+                      npe: int, ne: int, out_cap: int,
+                      wwords: int, use_pallas: bool = False):
+    """decode_batch_windows with ALL per-batch metadata in one packed i32
+    array and the word-window slice done in-program (the axon tunnel's
+    synchronous dispatch regime charges ~12-25 ms per host round-trip,
+    which dominated decode wall time; VERDICT r3 ask #3).
+
+    meta: [word_lo, hist, pe_word0(npe), pe_tab(npe), alanes(npe*PE),
+           ll(ne*288), dl(ne*32)] as one (M,) i32 array.
+    """
+    from ..ops import walk as wk
+    PE = wk.PE_LANES
+    o = 0
+    word_lo = meta[0]
+    hist = meta[1]
+    o = 2
+    pe_word0 = meta[o:o + npe]
+    o += npe
+    pe_tab = meta[o:o + npe]
+    o += npe
+    alanes = meta[o:o + npe * PE].reshape(npe, PE)
+    o += npe * PE
+    ll = meta[o:o + ne * 288].reshape(ne, 288)
+    o += ne * 288
+    dl = meta[o:o + ne * 32].reshape(ne, 32)
+    words = jax.lax.dynamic_slice(words_full, (word_lo,), (wwords,))
+    return _decode_batch_windows_impl(
+        words, pe_word0, pe_tab, alanes, ll, dl, halo, hist,
+        npe, ne, out_cap, use_pallas)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "npe", "ne", "out_cap", "wwords", "use_pallas"))
+def decode_batch_windows_packed(words_full, meta, halo,
+                                npe: int, ne: int, out_cap: int,
+                                wwords: int, use_pallas: bool = False):
+    return _decode_from_meta(words_full, meta, halo, npe, ne, out_cap,
+                             wwords, use_pallas)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "npe", "ne", "out_cap", "wwords", "use_pallas"))
+def decode_batch_windows_stacked(words_full, metas, row, halo,
+                                 npe: int, ne: int, out_cap: int,
+                                 wwords: int, use_pallas: bool = False):
+    """_decode_from_meta over a row of a (B, M) stacked metadata array: the
+    WHOLE stream's batch metadata uploads in one transfer and each batch is
+    exactly one dispatch."""
+    meta = jax.lax.dynamic_slice(
+        metas, (row, 0), (1, metas.shape[1])).reshape(-1)
+    return _decode_from_meta(words_full, meta, halo, npe, ne, out_cap,
+                             wwords, use_pallas)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -433,8 +496,7 @@ class RawInflater:
         d0 = dictionary[-HALO:]
         if d0:
             halo0[HALO - len(d0):] = np.frombuffer(d0, np.uint8)
-        win = jnp.asarray(halo0)
-        plan = []
+        work = []
         i = 0
         while i < nblk:
             rec = recs[i]
@@ -459,13 +521,7 @@ class RawInflater:
                     if r.btype != 0:
                         raise errors.BadBlockError(
                             "index expects stored continuation")
-                chunk = bytes(chunk)
-                plan.append(("stored", chunk))
-                cap = _bucket(len(chunk), 1 << 12)
-                cb = np.zeros(cap, np.uint8)
-                cb[:len(chunk)] = np.frombuffer(chunk, np.uint8)
-                win = roll_window(win, jnp.asarray(cb),
-                                  jnp.int32(len(chunk)), cap)
+                work.append(("stored", bytes(chunk)))
                 i += 1
                 continue
             # gather a run of huffman blocks within batch limits
@@ -487,7 +543,6 @@ class RawInflater:
             wwords = min(_bucket(((bits_end - b0) >> 5) + 16, 1 << 13), W_pad)
             word_lo = min(b0 >> 5, W_pad - wwords)
             bit_local = b0 - (word_lo << 5)
-            words = _slice_words(words_full, jnp.int32(word_lo), wwords)
             nbits = _bucket(bits_end - b0, 1 << 12)
             nb = _bucket(len(run), 4)
             max_span = max(
@@ -515,9 +570,8 @@ class RawInflater:
             anchors = index.get("anchors")
             have_anchors = anchors is not None and all(
                 anchors[k] is not None for k in run)
-            dense_args = (words, jnp.int32(bit_local), jnp.asarray(starts),
-                          jnp.asarray(syms), jnp.asarray(ends),
-                          jnp.asarray(ll), jnp.asarray(dl))
+
+
             if have_win:
                 from ..ops import walk as wk
                 PE = wk.PE_LANES
@@ -540,14 +594,17 @@ class RawInflater:
                 pe_tab += [0] * pad
                 al_rows += [np.full(PE, -1, np.int32)] * pad
                 use_pallas = jax.default_backend() != "cpu"
-                hist = jnp.int32(min(
-                    block_bytes[i] + len(dictionary), 1 << 30))
-                o, produced, err, win = decode_batch_windows(
-                    words, jnp.asarray(np.asarray(pe_word0, np.int32)),
-                    jnp.asarray(np.asarray(pe_tab, np.int32)),
-                    jnp.asarray(np.stack(al_rows)),
-                    jnp.asarray(ll), jnp.asarray(dl), win, hist,
-                    npe, nb, oc, use_pallas)
+                hist = min(block_bytes[i] + len(dictionary), 1 << 30)
+                # ALL per-batch metadata rides ONE stacked upload (below);
+                # sync-mode host round-trips dominated decode wall
+                meta = np.concatenate([
+                    np.asarray([word_lo, hist], np.int32),
+                    np.asarray(pe_word0, np.int32),
+                    np.asarray(pe_tab, np.int32),
+                    np.stack(al_rows).reshape(-1),
+                    ll.reshape(-1), dl.reshape(-1)])
+                work.append(("win", (meta, npe, nb, oc, wwords, use_pallas,
+                                     total_out, b0)))
             elif have_anchors:
                 lane_tb, lane_s, lane_e = [], [], []
                 lane_block_start = []
@@ -572,34 +629,89 @@ class RawInflater:
                     + [lanes * dk.ANCHOR_STRIDE], np.int32))
                 use_pallas = (jax.default_backend() != "cpu"
                               and max(out_lens[k] for k in run) <= (1 << 16))
-                o, produced, err, win = decode_batch_anchored(
-                    words, jnp.asarray(tb_a), jnp.asarray(st_a),
-                    jnp.asarray(en_a), jnp.asarray(ll), jnp.asarray(dl),
-                    win, lanes, nb, oc, use_pallas, first_slots)
+                work.append(("anchored", (tb_a, st_a, en_a, ll, dl, lanes,
+                                          nb, oc, use_pallas, first_slots,
+                                          word_lo, wwords, total_out, b0)))
             else:
-                o, produced, err = decode_batch(
-                    *dense_args, win, nbits, nb, nseg, oc)
-                win = roll_window(win, o, produced, oc)
-            # keep only what phase 2 reads: unused device buffers (window,
-            # dense args, tables) would otherwise stay pinned until assembly
-            plan.append(("dev", (o, produced, err, total_out, b0)))
+                work.append(("dense", (bit_local, starts, syms, ends, ll, dl,
+                                       nbits, nb, nseg, oc, word_lo, wwords,
+                                       total_out, b0)))
             i = j
 
-        # Phase 2: read back, verify, assemble. A failed batch invalidates
-        # the device-chained window of every LATER batch (already dispatched),
-        # so at the FIRST failure the remainder of the stream is re-decoded
-        # sequentially (native C++ inflator, Python referee fallback) from a
-        # host-reconstructed window — bounded work, no giant dense-decode
-        # program (rare: corruption, or speculation failing to converge on
-        # foreign-indexed streams).
+        # ---- dispatch pass: windowed-batch metadata goes up in ONE
+        # transfer; every batch is then one dispatch, window-chained ----
+        wmetas = [w[1][0] for w in work if w[0] == "win"]
+        metas_dev = None
+        if wmetas:
+            M = _bucket(max(len(m) for m in wmetas), 1 << 10)
+            stackm = np.zeros((len(wmetas), M), np.int32)
+            for k2, m in enumerate(wmetas):
+                stackm[k2, :len(m)] = m
+            metas_dev = jnp.asarray(stackm)
+        win = jnp.asarray(halo0)
+        plan = []
+        wrow = 0
+        for kind, payload in work:
+            if kind == "stored":
+                chunk = payload
+                plan.append(("stored", chunk))
+                cap = _bucket(len(chunk), 1 << 12)
+                cb = np.zeros(cap, np.uint8)
+                cb[:len(chunk)] = np.frombuffer(chunk, np.uint8)
+                win = roll_window(win, jnp.asarray(cb),
+                                  jnp.int32(len(chunk)), cap)
+            elif kind == "win":
+                (meta, npe, nb2, oc2, ww2, up2, total_out, b0) = payload
+                o, produced, err, win = decode_batch_windows_stacked(
+                    words_full, metas_dev, jnp.int32(wrow), win,
+                    npe, nb2, oc2, ww2, up2)
+                wrow += 1
+                plan.append(("dev", (o, produced, err, total_out, b0)))
+            elif kind == "anchored":
+                (tb_a, st_a, en_a, ll2, dl2, lanes, nb2, oc2, up2,
+                 first_slots, word_lo2, ww2, total_out, b0) = payload
+                wds = _slice_words(words_full, jnp.int32(word_lo2), ww2)
+                o, produced, err, win = decode_batch_anchored(
+                    wds, jnp.asarray(tb_a), jnp.asarray(st_a),
+                    jnp.asarray(en_a), jnp.asarray(ll2), jnp.asarray(dl2),
+                    win, lanes, nb2, oc2, up2, first_slots)
+                plan.append(("dev", (o, produced, err, total_out, b0)))
+            else:
+                (bit_local2, starts2, syms2, ends2, ll2, dl2, nbits2, nb2,
+                 nseg2, oc2, word_lo2, ww2, total_out, b0) = payload
+                wds = _slice_words(words_full, jnp.int32(word_lo2), ww2)
+                o, produced, err = decode_batch(
+                    wds, jnp.int32(bit_local2), jnp.asarray(starts2),
+                    jnp.asarray(syms2), jnp.asarray(ends2),
+                    jnp.asarray(ll2), jnp.asarray(dl2),
+                    win, nbits2, nb2, nseg2, oc2)
+                win = roll_window(win, o, produced, oc2)
+                plan.append(("dev", (o, produced, err, total_out, b0)))
+
+        # Phase 2: verify with ONE coalesced meta readback (the first
+        # device->host read drops the axon process into synchronous
+        # per-dispatch mode, and each read costs ~25-50 ms of dispatch —
+        # per-batch int(produced)/int(err) reads were >60% of decode wall),
+        # then assemble the whole output device-side and transfer it ONCE.
+        dev_batches = [p for kind, p in plan if kind == "dev"]
+        metas = (np.asarray(jnp.stack(
+            [jnp.stack((p[1], p[2])) for p in dev_batches]))
+            if dev_batches else np.zeros((0, 2), np.int64))
         out = bytearray()
+        di = 0
+        fill = []                   # (host_offset, device_array, nbytes)
         for kind, p in plan:
             if kind == "stored":
                 out += p
                 continue
             o, produced, err, total_out, b0 = p
-            pe, ee = int(produced), int(err)
+            pe, ee = int(metas[di][0]), int(metas[di][1])
+            di += 1
             if ee or pe != total_out:
+                # materialize verified prefix batches first
+                for off, oa, nb_ in fill:
+                    out[off:off + nb_] = np.asarray(oa[:nb_]).tobytes()
+                fill = []
                 window = (dictionary[-HALO:] + bytes(out))[-HALO:]
                 if native.available():
                     rest, _, _ = native.inflate(
@@ -615,10 +727,17 @@ class RawInflater:
                         f"decode mismatch: produced={len(out)} "
                         f"expected={n_out}")
                 return bytes(out)
-            # device->host runs ~40 MB/s over the tunnel: transfer only the
-            # produced prefix when the bucket cap is much larger
-            if pe * 2 < o.shape[0]:
-                out += np.asarray(o[:pe]).tobytes()
-            else:
-                out += np.asarray(o)[:pe].tobytes()
+            fill.append((len(out), o, pe))
+            out += b"\x00" * pe
+        if len(fill) == 1:
+            off, oa, nb_ = fill[0]
+            out[off:off + nb_] = np.asarray(oa[:nb_]).tobytes()
+        elif fill:
+            # concatenate on device (cheap) and read back in ONE transfer
+            cat = jnp.concatenate([oa[:nb_] for _, oa, nb_ in fill])
+            buf = np.asarray(cat).tobytes()
+            pos = 0
+            for off, _, nb_ in fill:
+                out[off:off + nb_] = buf[pos:pos + nb_]
+                pos += nb_
         return bytes(out)

@@ -166,16 +166,16 @@ class TestForeignIndexedDecode:
         dec = RawInflater()
         index = dec.build_index(raw)
         stats = []
-        orig = I.decode_batch_windows
+        orig = I.decode_batch_windows_packed
         def spy(*a, **k):
             r = orig(*a, **k)
             stats.append((int(r[1]), int(r[2])))
             return r
-        I.decode_batch_windows = spy
+        I.decode_batch_windows_packed = spy
         try:
             out = dec.decompress(raw, index=index)
         finally:
-            I.decode_batch_windows = orig
+            I.decode_batch_windows_packed = orig
         assert out == data
         assert stats and all(err == 0 for _, err in stats)
 

@@ -340,16 +340,16 @@ class TestEmbeddedIndex:
         data = corpus("binary", 200_000)
         blob = zstrm.compress(data, format="gzip", embed_index=True)
         calls = []
-        orig = I.decode_batch_windows
+        orig = I.decode_batch_windows_packed
         def spy(*a, **k):
             r = orig(*a, **k)
             calls.append((int(r[1]), int(r[2])))
             return r
-        I.decode_batch_windows = spy
+        I.decode_batch_windows_packed = spy
         try:
             out = zstrm.decompress(blob)
         finally:
-            I.decode_batch_windows = orig
+            I.decode_batch_windows_packed = orig
         assert out == data
         assert calls and all(e == 0 for _, e in calls)
 
