@@ -129,41 +129,37 @@ def _device_times(data: bytes, enc, dec, n: int) -> dict:
         d2[p] ^= 1
     variants = [data, bytes(d2)]
 
+    # capture via the drivers' own recording hooks (RawDeflater.capture_calls
+    # / RawInflater.capture_calls) — no monkeypatching of jit wrappers, so a
+    # dispatch refactor cannot silently break this capture again (r4 lesson)
     dec_sets = []
     dec_statics = None
     enc_sets = []
     enc_statics = None
-    for v in variants:
-        calls = []
-        orig = I.decode_batch_windows_packed
-        I.decode_batch_windows_packed = lambda *a, **k: (calls.append(a),
-                                                         orig(*a, **k))[1]
-        ecalls = []
-        eorig = De.encode_batch_packed
-        De.encode_batch_packed = lambda *a, **k: (ecalls.append((a, k)),
-                                                  eorig(*a, **k))[1]
-        try:
+    enc.capture_calls = dec.capture_calls = True
+    try:
+        for v in variants:
             raw, idx = enc.compress(v)
             out = dec.decompress(raw, index=idx)
-        finally:
-            I.decode_batch_windows_packed = orig
-            De.encode_batch_packed = eorig
-        if out != v or not calls or not ecalls:
-            return {"device_time_error": "capture failed"}
-        a = calls[0]
-        dec_sets.append(a[:3])
-        dec_statics = tuple(a[3:8])
-        ea = ecalls[0][0]
-        enc_sets.append(ea[:5])
-        enc_statics = tuple(ea[5:])
+            if out != v or not dec.last_calls or not enc.last_calls:
+                return {"device_time_error": "capture failed"}
+            a = dec.last_calls[0]
+            dec_sets.append(a[:4])
+            dec_statics = tuple(a[4:])
+            enc_sets.append(enc.last_calls[0])
+            enc_statics = enc.call_statics
+    finally:
+        enc.capture_calls = dec.capture_calls = False
+        enc.last_calls = []
+        dec.last_calls = []
     if any(x.shape != y.shape for x, y in zip(dec_sets[0], dec_sets[1])):
         return {"device_time_error": "bucket mismatch between variants"}
 
-    npe, ne, oc, ww, up = dec_statics
+    npe, ne, oc, ww, up = dec_statics[:5]
 
-    def dstage(wf, meta, wn):
-        return I.decode_batch_windows_packed(wf, meta, wn,
-                                             npe, ne, oc, ww, up)
+    def dstage(wf, metas, row, wn):
+        return I.decode_batch_windows_stacked(wf, metas, row, wn,
+                                              *dec_statics)
     t_dec = measure_cycled(dec_sets, dstage, iters=4)
 
     def estage(dv, sb, tl, dl_, fb):
@@ -263,18 +259,20 @@ def main():
             t0 = time.perf_counter()
             int(jnp.asarray(hb)[0])                 # upload + sync
             h2d = (4 << 20) / max(time.perf_counter() - t0, 1e-9)
-            dev_s = (details.get("decode_device_ms", 0) / 1e3
-                     * -(-n // details.get("decode_device_batch_out", n)))
             xfer_s = n / d2h + len(raw) / h2d
-            details["decode_wall_accounting"] = {
+            acct = {
                 "tunnel_d2h_MBps": round(d2h / 1e6, 1),
                 "tunnel_h2d_MBps": round(h2d / 1e6, 1),
-                "device_sum_s": round(dev_s, 3),
                 "transfer_est_s": round(xfer_s, 3),
                 "wall_s": round(dec_s, 3),
-                "wall_over_device_plus_transfer": round(
-                    (dev_s + xfer_s) / dec_s, 3) if dec_s else None,
             }
+            if "decode_device_ms" in details:       # else leave unattributed
+                dev_s = (details["decode_device_ms"] / 1e3
+                         * -(-n // details["decode_device_batch_out"]))
+                acct["device_sum_s"] = round(dev_s, 3)
+                acct["wall_over_device_plus_transfer"] = round(
+                    (dev_s + xfer_s) / dec_s, 3) if dec_s else None
+            details["decode_wall_accounting"] = acct
         except Exception as e:
             details["transfer_probe_error"] = repr(e)
 

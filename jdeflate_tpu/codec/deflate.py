@@ -789,6 +789,13 @@ class RawDeflater:
         self.bl = block_size
         self.batch = batch
         self.fixed_codes = fixed_codes   # DEFLT_FIXEDCODES (deflator.h:74-76)
+        # bench hook: when True, compress keeps each segment's device args
+        # in last_calls as (dev, start, seg_n, h, final_rel) + the statics
+        # via self.call_statics, so the devtime harness re-dispatches the
+        # exact program (no monkeypatching of jit wrappers — VERDICT r4 #2)
+        self.capture_calls = False
+        self.last_calls: list = []
+        self.call_statics: tuple = ()
 
     def compress(self, data: bytes, dictionary: bytes | None = None,
                  final: bool = True):
@@ -799,6 +806,7 @@ class RawDeflater:
         deflator.h:135-141), so further segments can be concatenated.
         """
         bl, batch = self.bl, self.batch
+        self.last_calls = []
         n = len(data)
         if n == 0:
             if not final:
@@ -845,6 +853,12 @@ class RawDeflater:
                 buf[HALO - h:HALO] = np.frombuffer(hist, np.uint8)
             buf[HALO:HALO + seg_n] = arr[s:s + seg_n]
             dev = jnp.asarray(buf)
+            if self.capture_calls:
+                self.last_calls.append(
+                    (dev, jnp.int32(0), jnp.int32(seg_n), jnp.int32(h),
+                     jnp.int32(final_idx - b0)))
+                self.call_statics = (bl, batch, self.level, nw,
+                                     self.fixed_codes)
             handles.append((b0, encode_batch_packed(
                 dev, jnp.int32(0), jnp.int32(seg_n), jnp.int32(h),
                 jnp.int32(final_idx - b0), bl, batch, self.level, nw,

@@ -60,14 +60,16 @@ def main():
         t0 = time.perf_counter()
         blob, info = enc.compress(data)
         walls[d] = time.perf_counter() - t0
+        # keep the last successful iteration so a device count outside
+        # {1,2,4,8} still yields a measurement (ADVICE r4)
         if d == ndev or d == 8:
             ok = gzip.decompress(blob) == data
             ok_dev = decompress_members(blob, info) == data
             out["members_gzip_ok"] = ok
             out["members_device_decode_ok"] = ok_dev
-            out["n_members"] = len(info["members"])
-            lens = [m[1] for m in info["members"]]  # (start, length, ...)
-            meas = (d, lens, len(blob))
+        lens = [m[1] for m in info["members"]]      # (start, length, ...)
+        out["n_members"] = len(info["members"])
+        meas = (d, lens, len(blob))
     # label: 2-core-host wall times are core-bound, not scaling evidence
     out["wall_s_by_devices_COREBOUND_2core_host"] = walls
 

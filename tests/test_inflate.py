@@ -165,19 +165,11 @@ class TestForeignIndexedDecode:
         raw = zlib.compress(data, 9)[2:-4]
         dec = RawInflater()
         index = dec.build_index(raw)
-        stats = []
-        orig = I.decode_batch_windows_packed
-        def spy(*a, **k):
-            r = orig(*a, **k)
-            stats.append((int(r[1]), int(r[2])))
-            return r
-        I.decode_batch_windows_packed = spy
-        try:
-            out = dec.decompress(raw, index=index)
-        finally:
-            I.decode_batch_windows_packed = orig
+        out = dec.decompress(raw, index=index)
         assert out == data
-        assert stats and all(err == 0 for _, err in stats)
+        stats = dec.last_stats
+        assert stats and any(k == "win" for k, _, _ in stats)
+        assert all(err == 0 for _, _, err in stats)
 
     def test_foreign_stored_and_dynamic_mix(self, corpus):
         import zlib

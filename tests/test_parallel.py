@@ -91,16 +91,9 @@ def test_members_device_decode(corpus):
     blob, info = enc.compress(data)
     import gzip
     assert gzip.decompress(blob) == data
-    calls = []
-    orig = I.decode_batch_windows
-    def spy(*a, **k):
-        r = orig(*a, **k)
-        calls.append(int(r[2]))
-        return r
-    I.decode_batch_windows = spy
-    try:
-        out = decompress_members(blob, info)
-    finally:
-        I.decode_batch_windows = orig
+    I.STATS_LOG.clear()
+    out = decompress_members(blob, info)
     assert out == data
-    assert calls and all(e == 0 for e in calls)
+    calls = [(k, e) for k, _, e in I.STATS_LOG]
+    assert calls and any(k == "win" for k, _ in calls)
+    assert all(e == 0 for _, e in calls)

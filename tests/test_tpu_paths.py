@@ -49,19 +49,12 @@ def test_tpu_full_levels_roundtrip(tpu_backend):
         enc = RawDeflater(level=level, block_size=1 << 16, batch=16)
         raw, idx = enc.compress(data)
         assert zlib.decompress(raw, -15) == data
-        stats = []
-        orig = I.decode_batch_windows
-        def spy(*a, **k):
-            r = orig(*a, **k)
-            stats.append((int(r[1]), int(r[2])))
-            return r
-        I.decode_batch_windows = spy
-        try:
-            out = I.RawInflater().decompress(raw, index=idx)
-        finally:
-            I.decode_batch_windows = orig
+        dec = I.RawInflater()
+        out = dec.decompress(raw, index=idx)
         assert out == data
-        assert stats and all(e == 0 for _, e in stats), stats
+        stats = dec.last_stats
+        assert stats and any(k == "win" for k, _, _ in stats), stats
+        assert all(e == 0 for _, _, e in stats), stats
 
 
 def test_tpu_expand_kernel_small_dists(tpu_backend):

@@ -339,19 +339,12 @@ class TestEmbeddedIndex:
         from jdeflate_tpu.codec import inflate as I
         data = corpus("binary", 200_000)
         blob = zstrm.compress(data, format="gzip", embed_index=True)
-        calls = []
-        orig = I.decode_batch_windows_packed
-        def spy(*a, **k):
-            r = orig(*a, **k)
-            calls.append((int(r[1]), int(r[2])))
-            return r
-        I.decode_batch_windows_packed = spy
-        try:
-            out = zstrm.decompress(blob)
-        finally:
-            I.decode_batch_windows_packed = orig
+        I.STATS_LOG.clear()
+        out = zstrm.decompress(blob)
         assert out == data
-        assert calls and all(e == 0 for _, e in calls)
+        calls = [(k, e) for k, _, e in I.STATS_LOG]
+        assert calls and any(k == "win" for k, _ in calls)
+        assert all(e == 0 for _, e in calls)
 
     def test_embed_multimember(self, corpus):
         from jdeflate_tpu.stream import zstrm
