@@ -103,7 +103,8 @@ class ShardedDeflater:
     """Host driver for mesh-parallel compression."""
 
     def __init__(self, mesh=None, level: int = 6, block_size: int = 1 << 16,
-                 blocks_per_device: int = 8, mode: str = "members"):
+                 blocks_per_device: int = 8, mode: str = "members",
+                 verify: bool = False):
         if mode not in ("members", "stream"):
             raise ValueError(mode)
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -111,6 +112,45 @@ class ShardedDeflater:
         self.bl = block_size
         self.bpd = blocks_per_device
         self.mode = mode
+        # Elastic recovery (SURVEY §5): shards are independent, so a failed
+        # shard's range can be re-encoded alone and spliced in. verify=True
+        # decodes every shard against its source bytes after readback (the
+        # failure detector); a failed shard is retried host-side.
+        self.verify = verify
+        # test seam: fault_hook(k, seg_bytes) -> seg_bytes (possibly
+        # corrupted) lets tests kill one shard's result
+        self.fault_hook = None
+        self.retries: list = []
+
+    def _shard_ok(self, seg_bytes: bytes, src: np.ndarray, s: int,
+                  ln: int) -> bool:
+        """Failure detector: the shard's compressed bytes must decode back
+        to its exact source range."""
+        from ..stream import host_inflate as hi
+        from ..stream import native
+        window = src[max(0, s - HALO):s].tobytes()
+        try:
+            if native.available():
+                out, _, _ = native.inflate(seg_bytes, window,
+                                           out_cap=max(ln, 1 << 12))
+            else:
+                out, _, _ = hi.inflate_raw(seg_bytes, window)
+        except Exception:
+            return False
+        return out[:ln] == src[s:s + ln].tobytes()
+
+    def _reencode_shard(self, src: np.ndarray, s: int, ln: int,
+                        final: bool):
+        """Retry path: re-encode one shard's range independently (members
+        are independent; stream shards see the halo as a dictionary)."""
+        enc = De.RawDeflater(level=self.level, block_size=self.bl,
+                             batch=min(self.bpd, (ln + self.bl - 1)
+                                       // self.bl) or 1)
+        window = src[max(0, s - HALO):s].tobytes() \
+            if self.mode == "stream" else b""
+        body, index = enc.compress(src[s:s + ln].tobytes(),
+                                   dictionary=window, final=final)
+        return body, index
 
     @property
     def ndev(self) -> int:
@@ -172,31 +212,53 @@ class ShardedDeflater:
                 ln = int(lens[k])
                 if ln == 0:
                     continue
+                s = pos + k * shard_bytes
                 total = int(th[k])
                 body = wh[k].view(np.uint8)
+                final = done + ln >= n
+                crc_k, adl_k = int(ch[k]), int(ah[k])
+                if self.mode == "members":
+                    seg_bytes = body[: (total + 7) // 8].tobytes()
+                else:
+                    seg_bytes = body[: (total + 7) // 8].tobytes() if final \
+                        else (body[: (total + 3 + 7) // 8].tobytes()
+                              + b"\x00\x00\xff\xff")
+                if self.fault_hook is not None:
+                    seg_bytes = self.fault_hook(k, seg_bytes)
+                index = None
+                if self.verify or self.fault_hook is not None:
+                    probe = seg_bytes if (self.mode == "members" or final) \
+                        else seg_bytes + b"\x03\x00"
+                    if not self._shard_ok(probe, arr, s, ln):
+                        # elastic retry: shards are independent — re-encode
+                        # just this range and recompute its checksums
+                        import zlib as _z
+                        seg_bytes, index = self._reencode_shard(
+                            arr, s, ln,
+                            final=(self.mode == "members") or final)
+                        sl = arr[s:s + ln].tobytes()
+                        crc_k = _z.crc32(sl)
+                        adl_k = _z.adler32(sl)
+                        self.retries.append((s, ln))
                 if self.mode == "members":
                     mstart = len(out)
                     hdr = H.emit_gzip_header()
                     out += hdr
-                    out += body[: (total + 7) // 8].tobytes()
-                    out += H.emit_gzip_trailer(int(ch[k]), ln)
-                    nblk = (ln + bl - 1) // bl
-                    ib, iy, ia = De.index_entries_from_meta(
-                        bl, bpd, sf[k], ho[k], gw[k], an[k], st[k], nblk,
-                        ln, 0, 0)
-                    members.append((mstart, len(out) - mstart, ln,
-                                    {"block_bits": ib, "block_bytes": iy,
-                                     "win": ia, "sync_points": [],
-                                     "n": ln, "header_len": len(hdr)}))
+                    out += seg_bytes
+                    out += H.emit_gzip_trailer(crc_k, ln)
+                    if index is None:
+                        nblk = (ln + bl - 1) // bl
+                        ib, iy, ia = De.index_entries_from_meta(
+                            bl, bpd, sf[k], ho[k], gw[k], an[k], st[k], nblk,
+                            ln, 0, 0)
+                        index = {"block_bits": ib, "block_bytes": iy,
+                                 "win": ia, "sync_points": [], "n": ln}
+                    index["header_len"] = len(hdr)
+                    members.append((mstart, len(out) - mstart, ln, index))
                 else:
-                    final = done + ln >= n
-                    if final:
-                        out += body[: (total + 7) // 8].tobytes()
-                    else:
-                        out += body[: (total + 3 + 7) // 8].tobytes()
-                        out += b"\x00\x00\xff\xff"
-                    crc_total = cs.crc32_combine(crc_total, int(ch[k]), ln)
-                    adler_total = cs.adler32_combine(adler_total, int(ah[k]), ln)
+                    out += seg_bytes
+                    crc_total = cs.crc32_combine(crc_total, crc_k, ln)
+                    adler_total = cs.adler32_combine(adler_total, adl_k, ln)
                 done += ln
             pos += d * shard_bytes
             if n == 0:

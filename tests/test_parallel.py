@@ -97,3 +97,56 @@ def test_members_device_decode(corpus):
     calls = [(k, e) for k, _, e in I.STATS_LOG]
     assert calls and any(k == "win" for k, _ in calls)
     assert all(e == 0 for _, e in calls)
+
+
+def test_shard_fault_retry_members(corpus, mesh8):
+    """Elastic recovery (SURVEY §5): kill one shard's compressed bytes; the
+    verifier must detect it and the retry must re-encode that range so the
+    final blob is still correct."""
+    data = corpus("text", 8 * 2 * 2048 + 123)
+    enc = ShardedDeflater(mesh=mesh8, level=6, block_size=2048,
+                          blocks_per_device=2, mode="members", verify=True)
+    killed = []
+
+    def hook(k, seg):
+        if k == 1 and not killed:
+            killed.append(k)
+            return seg[:4] + bytes(8) + seg[12:]   # corrupt mid-stream
+        return seg
+
+    enc.fault_hook = hook
+    blob, info = enc.compress(data)
+    assert killed and enc.retries, "fault must trigger a retry"
+    assert _gzip.decompress(blob) == data
+    assert decompress_members(blob, info) == data
+
+
+def test_shard_fault_retry_stream(corpus, mesh8):
+    data = corpus("binary", 8 * 2 * 2048)
+    enc = ShardedDeflater(mesh=mesh8, level=6, block_size=2048,
+                          blocks_per_device=2, mode="stream", verify=True)
+    killed = []
+
+    def hook(k, seg):
+        if k == 2 and not killed:
+            killed.append(k)
+            return seg[:-6] + bytes(6)
+        return seg
+
+    enc.fault_hook = hook
+    blob, info = enc.compress(data)
+    assert killed and enc.retries
+    assert _gzip.decompress(blob) == data
+
+
+def test_shard_verify_no_fault_is_clean(corpus, mesh8):
+    """verify=True on a healthy run: no retries, identical blob."""
+    data = corpus("text", 8 * 2 * 2048)
+    a = ShardedDeflater(mesh=mesh8, level=6, block_size=2048,
+                        blocks_per_device=2, mode="members")
+    b = ShardedDeflater(mesh=mesh8, level=6, block_size=2048,
+                        blocks_per_device=2, mode="members", verify=True)
+    blob_a, _ = a.compress(data)
+    blob_b, _ = b.compress(data)
+    assert not b.retries
+    assert blob_a == blob_b
