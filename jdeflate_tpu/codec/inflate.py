@@ -242,13 +242,10 @@ def _decode_batch_windows_impl(words, pe_word0, pe_tab, alanes, ll, dl,
         # engine is a STATIC argument threaded from the host dispatcher (the
         # env var is read there, not at trace time, so toggling it between
         # calls cannot silently reuse a stale cached kernel — ADVICE r4)
-        if engine == 3:
-            # v4 MXU batch engine (ops/expand3.py): fully vectorized, no
-            # scalar work per token — currently ~18 ms/2MB vs v3's ~14.5,
-            # dominated by dependency sub-rounds on deep-chain data; opt-in
-            # until it beats v3 (see scripts/jobs/ROUND4_NOTES.md)
-            from ..ops import expand3 as ex3
-            out, produced, kerr = ex3.expand_tokens(
+        if engine == 5:
+            # v5 parallel plan/propagate/resolve pipeline (ops/expand5.py)
+            from ..ops import expand5 as ex5
+            out, produced, kerr = ex5.expand_tokens(
                 tok_lm, outlen, halo, out_cap)
             aerr = kerr + (produced > out_cap).astype(jnp.int32)
         else:                                        # v3 serial-walk kernel

@@ -14,7 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from jdeflate_tpu.ops import expand3 as ex3
+import dev_expand3_kernel as ex3  # moved out of package (VERDICT r4 #4)
 
 TOK_LIT = 1 << 30
 TOK_MATCH = 2 << 30
