@@ -3,23 +3,23 @@
 Replaces the serial in-VMEM walk of ops/expand2.py (v3, ~135 ns/token —
 serial control is what a TPU is worst at) with a mostly-parallel pipeline:
 
-  1. slot attrs (XLA): per-slot output offset (cumsum) + packed seed
-     (literal byte / match distance), straight from the walk's lane-major
-     tokens; no compaction.
-  2. seed kernel (Pallas): monotone scatter of seeds to their output
-     positions — sequential over slot rows, one-hot matvec per row
-     (slot occupancy bounded by the (L, 8) slot slice; rare lanes with
-     more than 8 symbols per 32-bit window ride a flagged spill pass).
+  1. slot attrs (XLA): per-slot output offset (cumsum) + 16-bit seed
+     (literal byte / match distance) over the (L, S_SLICE) fast slice;
+     rare lanes with more tokens ride the exact top-k spill pass.
+  2. seed kernel (Pallas): scatter-matmul — each SREG-byte region's
+     candidate slots are placed by row/lane one-hots contracted on the
+     MXU; no sequential scan, no XLA scatter.
   3. butterfly propagate (XLA): every output position learns its covering
      token's pack and its phase within it, in 9 shift/select stages
      (a DEFLATE item is at most 258 bytes — RFC 1951; cf. MAXMATCH,
      /root/reference/src/deflator.c:21-45 — so 9 doubling steps suffice).
-  4. resolve kernel (Pallas): sequential 2 KiB steps over the output;
-     per step ONE one-hot bf16 matmul gathers every position's source
-     byte from the last-36 KiB window in VMEM (exact: bytes <= 255 are
-     exact in bf16), then fixpoint rounds resolve intra-step chains
-     (the reference handles the same chains byte-serially in its
-     overlapped-copy loop, /root/reference/src/inflator.c:1747-1753).
+  4. resolve kernel (Pallas): sequential 2 KiB steps over the output.
+     Intra-step chains ground by POINTER DOUBLING on the collapsed-source
+     map (log2 rounds, value-free); then ONE one-hot bf16 matmul gathers
+     every position's byte from the last-36 KiB window in VMEM (exact:
+     bytes <= 255 are exact in bf16). The reference handles the same
+     chains byte-serially in its overlapped-copy loop,
+     /root/reference/src/inflator.c:1747-1753.
 
 The collapsed source rule: a position p inside a match (off, d, len) reads
 from src = off - d + (p - off) % d, which always precedes the match, so
@@ -49,7 +49,8 @@ S_CAP = 8          # seed fast-pass slot slice; spill pass covers the rest
 STEP = 2048        # resolve step bytes (16 output rows)
 V_VALID = np.int32(1 << 25)
 V_LIT = np.int32(1 << 24)
-MAX_ROUNDS = 256   # intra-step fixpoint cap; exceeding -> error -> fallback
+DBL_ROUNDS = (STEP - 1).bit_length()   # pointer-doubling cap: chains are at
+#   most STEP deep inside a step, so log2(STEP) doublings always ground
 
 
 def slot_attrs(tok_lm: jnp.ndarray, outlen: jnp.ndarray):
@@ -155,17 +156,24 @@ def expand_tokens_ref(tok_lm, outlen, halo, out_cap: int):
 
 # ====================== TPU kernels ======================
 #
-# Kernel 1 (seed): sequential pass over slot rows, grid over 256 KiB output
-# regions (seeds are points, so every seed belongs to exactly one region;
-# boundary slot rows are visited by both regions with in-region masking).
-# Kernel 2 (resolve): grid over 32 KiB output chunks; per 2 KiB step one
-# bf16 one-hot matmul gathers all 2048 source bytes from the staged window,
-# then fixpoint rounds settle intra-step chains.
+# Kernel 1 (seed): grid over SREG-byte output regions; each region's seeds
+# are placed by a scatter-matmul — candidates' row/lane one-hots contracted
+# on the MXU (no sequential scan, no XLA scatter). Candidate slots arrive
+# as two scalar-prefetched CANDW-wide logical rows.
+# Kernel 2 (resolve): grid over 32 KiB output chunks; per 2 KiB step,
+# pointer doubling grounds intra-step chains, then one bf16 one-hot matmul
+# gathers every position's byte from the staged window.
 
-REG_OUT = 1 << 18                     # seed-kernel region: output bytes
-REG_ROWS = REG_OUT // 128
-SEED_CHUNK = 512                      # slot rows DMA'd per fetch
-WINP = 256                            # seed scatter window positions
+S_SLICE = 8        # slots per lane consumed by the seed fast path; lanes
+#                    with more tokens ride the exact spill pass
+SREG = 4096                           # seed region output bytes
+SREG_ROWS = SREG // 128               # 32
+CANDW = 8192   # candidate slots per prefetch block. Worst realistic slot
+#   density is ~2 slots/output byte (literal-only lanes emit ~4 bytes per
+#   32-bit window = 4-5 of their 8 slots), so a 4096-byte region spans up
+#   to ~8500 slots incl. entry-padding lanes; the two-block window (2x
+#   CANDW) covers it. Pathological codes (15-bit literals) can exceed it
+#   -> err -> native fallback.
 
 CHUNK_ROWS = 256                      # resolve chunk: 32 KiB output
 STEPS_PER_CHUNK = (CHUNK_ROWS * 128) // STEP
@@ -175,129 +183,180 @@ WR = 288                              # gather window rows (36 KiB + align)
 # stage = [pad | halo | output]; window = WR-STEP_ROWS rows before the step
 HALO_ROWS = HALO // 128
 PADF_ROWS = WR - STEP_ROWS - HALO_ROWS   # 16
+def _seed_mm_kernel(lo_b, offA, offB, seedA, seedB, s_out):
+    """Scatter-matmul seed placement for one SREG-byte output region.
 
-
-def _seed_kernel(lr_lo, lr_hi, offs_hbm, seeds_hbm, s_out,
-                 stage, offv, seedv, sem_o, sem_s):
+    Candidate slots: the flat slot arrays are viewed as (NB, CANDW) logical
+    blocks; Mosaic block specs need 8-row granularity, so two (8, CANDW)
+    blocks arrive and the region's two logical rows are picked with cheap
+    dynamic single-row reads. All operands are then plain 2D broadcasts —
+    no 3D one-hots, no transposed contractions:
+      Rm (SREG_ROWS, CANDW) row one-hot   = broadcast compare
+      Wl (CANDW, 128)       lane one-hot * seed plane ((1,N)->(N,1) is the
+                            supported reshape direction)
+      S  = Rm @ Wl  per byte plane (exact: planes <= 255 in bf16)
+    """
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     r = pl.program_id(0)
-    rbase = r * REG_OUT
-    rend = rbase + REG_OUT
-    lo = lr_lo[r]
-    hi = lr_hi[r]
+    rbase = r * SREG
+    rend = rbase + SREG
+    riota = jax.lax.broadcasted_iota(jnp.int32, (SREG_ROWS, 1), 0)
+    liota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    j0 = lo_b[r] & 7
 
-    stage[:, :] = jnp.zeros(stage.shape, jnp.int32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINP), 1)
-    BIG = jnp.int32(1 << 30)
+    def pick(refA, refB, j):
+        a = refA[pl.ds(jnp.minimum(j, 7), 1), :]
+        b = refB[pl.ds(jnp.maximum(j - 8, 0), 1), :]
+        return jnp.where(j < 8, a, b)                      # (1, CANDW)
 
-    def fetch(row0a):
-        row0 = pl.multiple_of((row0a >> 3) << 3, 8)
-        co = pltpu.make_async_copy(
-            offs_hbm.at[pl.ds(row0, SEED_CHUNK), :], offv, sem_o)
-        co.start()
-        cs = pltpu.make_async_copy(
-            seeds_hbm.at[pl.ds(row0, SEED_CHUNK), :], seedv, sem_s)
-        cs.start()
-        co.wait()
-        cs.wait()
-        return row0
+    def contrib(offw, seedw):
+        eff = (seedw != 0) & (offw >= rbase) & (offw < rend)   # (1, CANDW)
+        orel = jnp.where(eff, offw - rbase, SREG)
+        Rm = jnp.where((orel >> 7) == riota, 1, 0).astype(
+            jnp.bfloat16)                                  # (ROWS, CANDW)
+        oc = orel.reshape(CANDW, 1)
+        sc = seedw.reshape(CANDW, 1)
+        ohl = (oc & 127) == liota                          # (CANDW, 128)
+        planes = []
+        for shift in (0, 8):
+            pv = (sc >> shift) & 0xFF
+            Wl = jnp.where(ohl, pv, 0).astype(jnp.bfloat16)
+            m = jax.lax.dot_general(
+                Rm, Wl, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (ROWS, 128)
+            planes.append(m.astype(jnp.int32))
+        return planes[0], planes[1]
 
-    def row_body(carry):
-        i, c0 = carry
-        c0 = jax.lax.cond(i - c0 >= SEED_CHUNK, lambda: fetch(i),
-                          lambda: c0)
-        offw = offv[pl.ds(i - c0, 1), :]
-        seedw = seedv[pl.ds(i - c0, 1), :]
-        eff = ((seedw & V_VALID) != 0) & (offw >= rbase) & (offw < rend)
-        offm = jnp.where(eff, offw, BIG)
-
-        def win_cond(rem):
-            return jnp.min(rem) < BIG
-
-        def win_body(rem):
-            first = jnp.min(rem)
-            wbase = ((first - rbase) >> 7) << 7          # row-aligned
-            sel = rem < rbase + wbase + WINP
-            orel = jnp.where(sel, rem - rbase - wbase, WINP)
-            oc = orel.reshape(128, 1)
-            oh = (oc == lane).astype(jnp.bfloat16)       # (128, WINP)
-            sc = seedw.reshape(128, 1)
-            out = jnp.zeros((1, WINP), jnp.int32)
-            for shift in (0, 8, 24):
-                plane = ((sc >> shift) & 0xFF).astype(jnp.bfloat16)
-                m = jax.lax.dot_general(
-                    plane.reshape(1, 128), oh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                out = out | (m.astype(jnp.int32) << shift)
-            wrow = wbase >> 7
-            cur = stage[pl.ds(wrow, WINP // 128), :]
-            stage[pl.ds(wrow, WINP // 128), :] = cur | out.reshape(
-                WINP // 128, 128)
-            return jnp.where(sel, BIG, rem)
-
-        jax.lax.while_loop(win_cond, win_body, offm)
-        return i + 1, c0
-
-    def row_cond(carry):
-        i, _ = carry
-        return i < hi
-
-    jax.lax.while_loop(row_cond, row_body, (lo, fetch(lo)))
-    s_out[:, :] = stage[pl.ds(0, REG_ROWS), :]
+    loA, hiA = contrib(pick(offA, offB, j0), pick(seedA, seedB, j0))
+    loB, hiB = contrib(pick(offA, offB, j0 + 1), pick(seedA, seedB, j0 + 1))
+    s_out[:, :] = ((hiA + hiB) << 8) | (loA + loB)
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap",))
-def seed_scatter_tpu(off_flat, seed_flat, out_cap: int):
-    """Place seeds at their output positions: (out_cap//128, 128) i32."""
+def seed_scatter_mm(off_flat, seed16_flat, out_cap: int):
+    """Place 16-bit seeds at their output positions via the scatter-matmul
+    kernel. Returns ((out_cap//128, 128) i32 seed16-at-position, err) where
+    err counts regions whose candidate slot range exceeded the two-row
+    window (caller falls back)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = off_flat.shape[0]
-    SRn = -(-n // 128)
-    SR = -(-SRn // SEED_CHUNK) * SEED_CHUNK + SEED_CHUNK
-    offs2d = jnp.full(SR * 128, 1 << 30, jnp.int32).at[:n].set(
-        off_flat).reshape(SR, 128)
-    seeds2d = jnp.zeros(SR * 128, jnp.int32).at[:n].set(
-        seed_flat).reshape(SR, 128)
-    nreg = -(-out_cap // REG_OUT)
-    # per-region slot-row ranges, with overlap for boundary-spanning rows.
-    # row_last must be sorted for searchsorted: rows with no valid seed get
-    # the running max via cummax (their -1 would break monotonicity).
-    row_first = offs2d[:SRn, 0]
-    row_last = jax.lax.cummax(jnp.max(jnp.where(
-        (seeds2d[:SRn] & V_VALID) != 0, offs2d[:SRn], -1), axis=1))
-    bounds = jnp.arange(nreg + 1, dtype=jnp.int32) * REG_OUT
-    lr_lo = jnp.searchsorted(row_last, bounds[:-1]).astype(jnp.int32)
-    lr_hi = jnp.searchsorted(row_first, bounds[1:],
-                             side="left").astype(jnp.int32)
-    lr_hi = jnp.minimum(jnp.maximum(lr_hi, lr_lo), SRn)
+    NB = (-(-(-(-n // CANDW)) // 8) + 2) * 8     # blocks, padded + guard
+    offs2d = jnp.full(NB * CANDW, 1 << 30, jnp.int32).at[:n].set(
+        off_flat).reshape(NB, CANDW)
+    seeds2d = jnp.zeros(NB * CANDW, jnp.int32).at[:n].set(
+        seed16_flat).reshape(NB, CANDW)
+    nreg = -(-out_cap // SREG)
+
+    # blk_last[b] = last VALID seed off at-or-before block b (cummax):
+    # valid offs are strictly increasing in flat order, so the first block
+    # with blk_last >= x holds the last seed < x; empty slots never extend
+    # a range (they inherit offs but carry seed 0)
+    blk_last = jax.lax.cummax(jnp.max(jnp.where(
+        seeds2d != 0, offs2d, -1), axis=1))
+    bounds = jnp.arange(nreg + 1, dtype=jnp.int32) * SREG
+    # block index of the final valid seed: regions past the produced data
+    # (or past the last seed < rend) must not extend to the padding blocks
+    last_blk = jnp.searchsorted(blk_last, blk_last[-1],
+                                side="left").astype(jnp.int32)
+    lo_b = jnp.searchsorted(blk_last, bounds[:-1]).astype(jnp.int32)
+    hi_b = jnp.minimum(jnp.searchsorted(
+        blk_last, bounds[1:], side="left").astype(jnp.int32), last_blk) + 1
+    err = jnp.sum((hi_b > lo_b + 2).astype(jnp.int32))
+    lo_b = jnp.minimum(lo_b, NB - 16)    # both 8-row blocks stay in bounds
 
     out = pl.pallas_call(
-        _seed_kernel,
-        grid=(nreg,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((REG_ROWS, 128), lambda r: (r, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nreg * REG_ROWS, 128), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((REG_ROWS + 8, 128), jnp.int32),   # +guard rows
-            pltpu.VMEM((SEED_CHUNK, 128), jnp.int32),
-            pltpu.VMEM((SEED_CHUNK, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )(lr_lo, lr_hi, offs2d, seeds2d)
-    return out[: -(-out_cap // 128)]
+        _seed_mm_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nreg,),
+            in_specs=[
+                pl.BlockSpec((8, CANDW), lambda r, lo_b: (lo_b[r] // 8, 0)),
+                pl.BlockSpec((8, CANDW),
+                             lambda r, lo_b: (lo_b[r] // 8 + 1, 0)),
+                pl.BlockSpec((8, CANDW), lambda r, lo_b: (lo_b[r] // 8, 0)),
+                pl.BlockSpec((8, CANDW),
+                             lambda r, lo_b: (lo_b[r] // 8 + 1, 0)),
+            ],
+            out_specs=pl.BlockSpec((SREG_ROWS, 128), lambda r, lo_b: (r, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nreg * SREG_ROWS, 128), jnp.int32),
+    )(lo_b, offs2d, offs2d, seeds2d, seeds2d)
+    return out[: -(-out_cap // 128)], err
 
 
-def _resolve_kernel(halo_ref, p_ref, out_ref, stage, err_ref):
+def _tok_attrs(toks: jnp.ndarray, laneoff: jnp.ndarray):
+    """Token rows + per-lane output offsets -> (off, seed16) arrays.
+
+    seed16: 0 empty; 0x8000|byte literal; d in 1..32767 match (d=32768 ->
+    0xFFFF)."""
+    kind = (toks >> 30).astype(jnp.int32)
+    is_lit = kind == wk.TOK_LIT
+    is_m = kind == wk.TOK_MATCH
+    ln = jnp.where(is_lit, 1,
+                   jnp.where(is_m, (toks & 0x1FF).astype(jnp.int32), 0))
+    within = jnp.cumsum(ln, axis=1) - ln
+    off = laneoff[:, None] + within
+    d = ((toks >> 9) & 0x7FFF).astype(jnp.int32) + 1
+    lit = (toks & 0xFF).astype(jnp.int32)
+    seed16 = jnp.where(
+        is_lit, 0x8000 | lit,
+        jnp.where(is_m, jnp.where(d == 32768, 0xFFFF, d), 0))
+    return off, seed16
+
+
+SPILL_K = 128      # spill lanes handled exactly per batch; more -> err
+
+
+def slot_attrs16(tok_lm: jnp.ndarray, outlen: jnp.ndarray):
+    """(L, S) walk tokens -> (off, seed16) over the (L, S_SLICE) fast
+    slice, for the scatter-matmul seed kernel."""
+    laneoff = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(outlen)])[:-1]
+    off, seed16 = _tok_attrs(tok_lm[:, :S_SLICE], laneoff)
+    return off.reshape(-1), seed16.reshape(-1)
+
+
+def spill_pass(tok_lm, outlen, S16_flat, out_cap: int):
+    """Seed the rare lanes with more than S_SLICE tokens (dense literal
+    runs: short litlen codes pack >8 symbols into one 32-bit window).
+    Gathers the top-SPILL_K spill lanes and scatters their beyond-slice
+    seeds directly (a few thousand elements — XLA scatter is fine at this
+    size). err if more than SPILL_K lanes spilled."""
+    L = tok_lm.shape[0]
+    kind_all = (tok_lm >> 30).astype(jnp.int32)
+    has_spill = jnp.any(kind_all[:, S_SLICE:] != 0, axis=1)
+    n_spill = jnp.sum(has_spill.astype(jnp.int32))
+    score = jnp.where(has_spill, jnp.arange(L, dtype=jnp.int32), -1)
+    vals, idxs = jax.lax.top_k(score, min(SPILL_K, L))
+    laneoff = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(outlen)])[:-1]
+    rows = jnp.take(tok_lm, idxs, axis=0)
+    offr, seedr = _tok_attrs(rows, jnp.take(laneoff, idxs))
+    sel = (seedr != 0) & (vals[:, None] >= 0)
+    sel = sel.at[:, :S_SLICE].set(False)       # fast slice already seeded
+    tgt = jnp.where(sel & (offr < out_cap), offr, out_cap)
+    S16_flat = jnp.concatenate(
+        [S16_flat, jnp.zeros(1, S16_flat.dtype)]).at[
+        tgt.reshape(-1)].max(seedr.reshape(-1), mode="drop")[:out_cap]
+    err = jnp.where(n_spill > SPILL_K, n_spill, 0)
+    return S16_flat, err
+
+
+def seed16_to_plan(S16: jnp.ndarray) -> jnp.ndarray:
+    """Positioned 16-bit seeds -> plan packs (V_VALID/V_LIT/payload)."""
+    v = S16 & 0xFFFF
+    valid = v != 0
+    is_lit = (v >= 0x8000) & (v <= 0x80FF)
+    dm1 = jnp.where(v == 0xFFFF, 32767, v - 1)
+    pay = jnp.where(is_lit, v & 0xFF, dm1 & 0x7FFF)
+    return jnp.where(
+        valid, V_VALID | jnp.where(is_lit, V_LIT, 0) | pay, 0)
+
+
+def _resolve_kernel(halo_ref, p_ref, out_ref, err_ref, stage):
     from jax.experimental import pallas as pl
 
     c = pl.program_id(0)
@@ -306,14 +365,34 @@ def _resolve_kernel(halo_ref, p_ref, out_ref, stage, err_ref):
     @pl.when(c == 0)
     def _init():
         stage[:, :] = jnp.zeros(stage.shape, jnp.bfloat16)
+        # Mosaic has no u8<->bf16 cast; bounce through i32
         stage[pl.ds(PADF_ROWS, HALO_ROWS), :] = halo_ref[:, :].astype(
-            jnp.bfloat16)
+            jnp.int32).astype(jnp.bfloat16)
         err_ref[0, 0] = 0
 
     lanei = jax.lax.broadcasted_iota(jnp.int32, (STEP_ROWS, 128), 1)
     rowi = jax.lax.broadcasted_iota(jnp.int32, (STEP_ROWS, 128), 0)
-    wiota = jax.lax.broadcasted_iota(jnp.int32, (1, WR), 1)
-    siota = jax.lax.broadcasted_iota(jnp.int32, (1, STEP_ROWS), 1)
+    wiota3 = jax.lax.broadcasted_iota(jnp.int32, (STEP_ROWS, 128, WR), 2)
+    siota3 = jax.lax.broadcasted_iota(
+        jnp.int32, (STEP_ROWS, 128, STEP_ROWS), 2)
+    giota3 = jax.lax.broadcasted_iota(jnp.int32, (STEP_ROWS, 128, 128), 2)
+
+    # Mosaic supports reshapes that merge/split LEADING dims only (the
+    # minor dim must survive), so per-position one-hots are built in 3D
+    # (rows, lanes, targets) and flattened to (STEP, targets) for the MXU.
+    def row_onehot(srel, width, iota3):
+        """srel (STEP_ROWS,128) -> (STEP, width) bf16 one-hot."""
+        oh3 = jnp.where(srel[:, :, None] == iota3, 1, 0).astype(jnp.bfloat16)
+        return oh3.reshape(STEP, width)
+
+    def lane_select(g, lane_idx):
+        """g (STEP,128) i32 position-major gather rows, lane_idx
+        (STEP_ROWS,128) -> (STEP_ROWS,128): pick g[p, lane_idx[p]] per
+        position (no 2D take_along_axis in Mosaic; one-hot multiply +
+        minor-axis sum rides the VPU)."""
+        g3 = g.reshape(STEP_ROWS, 128, 128)
+        return jnp.sum(jnp.where(lane_idx[:, :, None] == giota3, g3, 0),
+                       axis=2)
 
     def step(s, err):
         srow = base_row + s * STEP_ROWS
@@ -332,54 +411,71 @@ def _resolve_kernel(halo_ref, p_ref, out_ref, stage, err_ref):
         rr = jnp.where(rr < 0, rr + d, rr)
         rr = jnp.where(rr >= d, rr - d, rr)
         src = pos - phase - d + jnp.where(phase < d, phase, rr)
-        sidx = src + PADF_ROWS * 128 + HALO               # stage coords
-        sidx = jnp.clip(sidx, 0, (srow + STEP_ROWS) * 128 - 1)
 
+        # literal pre-write: intra-step chains ground on literal values
+        stage[pl.ds(srow, STEP_ROWS), :] = jnp.where(
+            is_lit, lit, 0).astype(jnp.bfloat16)
+
+        # pointer doubling on the collapsed-source map: cur[p] jumps 2^k
+        # chain hops per round, so any intra-step chain (depth <= STEP)
+        # grounds in <= log2(STEP) rounds — no value iteration, no
+        # data-dependent round count beyond the early-exit check. A ground
+        # pointer is pre-step (value final in stage) or an intra literal
+        # (value just written); literals/invalid point at themselves, so
+        # gathered pointers stabilize exactly at ground.
+        OFF0 = sbase - (WR - STEP_ROWS) * 128            # window start
+        cur0 = jnp.where(is_m, jnp.maximum(src, OFF0), pos)
+
+        def d_cond(carry):
+            _, changed, it = carry
+            return (changed > 0) & (it < DBL_ROUNDS)
+
+        def d_body(carry):
+            cur, _, it = carry
+            qrel = cur - sbase
+            intra = qrel >= 0
+            qrow = jnp.clip(qrel, 0, STEP - 1) >> 7
+            oh = row_onehot(qrow, STEP_ROWS, siota3)
+            coff = cur - OFF0                            # in [0, WR*128)
+            plo = (coff & 0xFF).astype(jnp.bfloat16)
+            phi = (coff >> 8).astype(jnp.bfloat16)
+            glo = jax.lax.dot_general(
+                oh, plo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ghi = jax.lax.dot_general(
+                oh, phi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # one fused lane-select: 256*hi + lo <= 65535 is exact in f32
+            vv = lane_select((ghi * 256.0 + glo).astype(jnp.int32),
+                             qrel & 127)
+            ncur = jnp.where(intra, vv + OFF0, cur)
+            ch = jnp.sum((ncur != cur).astype(jnp.int32))
+            return ncur, ch, it + 1
+
+        any_intra = jnp.sum((is_m & (src >= sbase)).astype(jnp.int32))
+        cur, _, _ = jax.lax.while_loop(
+            d_cond, d_body, (cur0, any_intra, jnp.int32(0)))
+
+        # one value gather grounds every position (window includes this
+        # step's rows, whose literal values are already in place)
+        sidx = jnp.clip(cur + PADF_ROWS * 128 + HALO, 0,
+                        (srow + STEP_ROWS) * 128 - 1)
         wrow0 = pl.multiple_of(srow - (WR - STEP_ROWS), 8)
         win = stage[pl.ds(wrow0, WR), :]                  # (WR,128) bf16
         srel = jnp.clip((sidx >> 7) - wrow0, 0, WR - 1)
-        oh = (srel.reshape(STEP, 1) == wiota).astype(jnp.bfloat16)
+        oh = row_onehot(srel, WR, wiota3)
         g = jax.lax.dot_general(
             oh, win, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (STEP,128)
-        gi = g.astype(jnp.int32)
-        vg = jnp.take_along_axis(gi, (sidx & 127).reshape(STEP, 1),
-                                 axis=1).reshape(STEP_ROWS, 128)
+        vg = lane_select(g.astype(jnp.int32), sidx & 127)
         val = jnp.where(is_lit, lit, jnp.where(is_m, vg, 0))
         stage[pl.ds(srow, STEP_ROWS), :] = val.astype(jnp.bfloat16)
-
-        # fixpoint rounds for intra-step chains: gather only from the
-        # step's own rows (sources before the step were final in round 1)
-        intra = is_m & (src >= sbase)
-        srel2 = jnp.clip((sidx >> 7) - srow, 0, STEP_ROWS - 1)
-
-        def r_cond(rc):
-            _, changed, it = rc
-            return (changed > 0) & (it < MAX_ROUNDS)
-
-        def r_body(rc):
-            val, _, it = rc
-            win2 = stage[pl.ds(srow, STEP_ROWS), :]
-            oh2 = (srel2.reshape(STEP, 1) == siota).astype(jnp.bfloat16)
-            g2 = jax.lax.dot_general(
-                oh2, win2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            v2 = jnp.take_along_axis(
-                g2.astype(jnp.int32), (sidx & 127).reshape(STEP, 1),
-                axis=1).reshape(STEP_ROWS, 128)
-            nval = jnp.where(intra, v2, val)
-            ch = jnp.sum((nval != val).astype(jnp.int32))
-            stage[pl.ds(srow, STEP_ROWS), :] = nval.astype(jnp.bfloat16)
-            return nval, ch, it + 1
-
-        any_intra = jnp.sum(intra.astype(jnp.int32))
-        val, _, rounds = jax.lax.while_loop(
-            r_cond, r_body, (val, any_intra, jnp.int32(0)))
-        return err + (rounds >= MAX_ROUNDS).astype(jnp.int32)
+        return err
 
     err = jax.lax.fori_loop(0, STEPS_PER_CHUNK, step, jnp.int32(0))
     err_ref[0, 0] = err_ref[0, 0] + err
-    out_ref[:, :] = stage[pl.ds(base_row, CHUNK_ROWS), :].astype(jnp.uint8)
+    out_ref[:, :] = stage[pl.ds(base_row, CHUNK_ROWS), :].astype(
+        jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap",))
@@ -418,10 +514,13 @@ def resolve_tpu(P2d, halo, out_cap: int):
 def expand_tokens(tok_lm: jnp.ndarray, outlen: jnp.ndarray,
                   halo: jnp.ndarray, out_cap: int):
     """TPU pipeline. Same contract as expand2.expand_tokens plus an error
-    flag: returns (out (out_cap,) u8, produced, err)."""
-    off, seed = slot_attrs(tok_lm, outlen)
+    flag (spilled lanes / overflowing seed windows / unconverged chains —
+    caller falls back): returns (out (out_cap,) u8, produced, err)."""
+    off, seed16 = slot_attrs16(tok_lm, outlen)
     produced = jnp.sum(outlen)
-    S2d = seed_scatter_tpu(off, seed, out_cap)
-    P2d = propagate(S2d.reshape(-1)).reshape(S2d.shape)
-    out, err = resolve_tpu(P2d, halo, out_cap)
-    return out, produced, err
+    S16, serr = seed_scatter_mm(off, seed16, out_cap)
+    S16f, sperr = spill_pass(tok_lm, outlen, S16.reshape(-1)[:out_cap],
+                             out_cap)
+    P2d = propagate(seed16_to_plan(S16f)).reshape(-1, 128)
+    out, rerr = resolve_tpu(P2d, halo, out_cap)
+    return out, produced, serr + sperr + rerr

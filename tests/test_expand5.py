@@ -126,3 +126,50 @@ def test_phase_mod_exactness():
     for d in (1, 2, 3, 5, 7, 31, 63, 64, 127, 128, 129, 251, 255, 256, 257):
         lanes.append([mk_match(258, d)])
     run_case(lanes)
+
+
+def test_seed16_encoding_with_spill_matches_plan_seeds():
+    """The 16-bit seed path (fast (L,8) slice + top-k spill pass) must
+    place exactly the plan seeds slot_attrs would produce, including for
+    lanes with more than S_SLICE tokens and d=32768 matches."""
+    rng = np.random.default_rng(3)
+    L, cap = 64, 1 << 13
+    tok = np.zeros((L, 32), np.uint32)
+    outlen = np.zeros(L, np.int32)
+    total = 0
+    for i in range(L):
+        ntok = int(rng.integers(1, 14))      # some lanes spill (> 8)
+        s = 0
+        for c in range(ntok):
+            if total + s < 4 or rng.random() < 0.7:
+                tok[i, c] = mk_lit(int(rng.integers(0, 256)))
+                s += 1
+            else:
+                d = int(rng.integers(1, min(total + s, 32768) + 1))
+                if rng.random() < 0.05:
+                    d = min(32768, total + s)
+                ln = int(rng.integers(3, 40))
+                tok[i, c] = mk_match(ln, d)
+                s += ln
+        outlen[i] = s
+        total += s
+    assert total < cap
+    tok_j = jnp.asarray(tok)
+    ol_j = jnp.asarray(outlen)
+
+    # expected: full-slot plan seeds via the referee scatter
+    off_all, seed_all = ex5.slot_attrs(tok_j, ol_j)
+    S_expect = ex5.seed_scatter_ref(off_all, seed_all, cap)
+
+    # actual: 16-bit fast-slice scatter + spill pass, decoded to plan packs
+    off8, seed8 = ex5.slot_attrs16(tok_j, ol_j)
+    S16 = np.zeros(cap, np.int64)
+    off8_n, seed8_n = np.asarray(off8), np.asarray(seed8)
+    for o, s in zip(off8_n, seed8_n):
+        if s and 0 <= o < cap:
+            S16[o] = max(S16[o], s)
+    S16f, err = ex5.spill_pass(tok_j, ol_j,
+                               jnp.asarray(S16.astype(np.int32)), cap)
+    assert int(err) == 0
+    got = ex5.seed16_to_plan(S16f)
+    assert np.array_equal(np.asarray(got), np.asarray(S_expect))
