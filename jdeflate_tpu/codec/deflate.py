@@ -305,7 +305,7 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
                       total_len: jnp.ndarray, dict_len: jnp.ndarray,
                       final_block: jnp.ndarray,
                       bl: int, batch: int, level: int, num_words: int,
-                      fixed_codes: bool = False):
+                      fixed_codes: bool = False, stage: str = ""):
     """Encode `batch` consecutive blocks of `data` into one bit-contiguous
     DEFLATE fragment (each block adaptively split into sub-blocks).
 
@@ -353,10 +353,14 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
         ext, block_len, valid_from, HALO, bl, PAD, max(cfg.probes, 1),
         ext_top=cfg.ext_top, ext_rounds=cfg.ext_rounds, rescue=cfg.rescue,
         probe_words=cfg.probe_words, ext_mdiv=cfg.ext_mdiv)
+    if stage == "match":
+        return length, dist
     take = lz77.parse_take(length, dist, block_len, cfg.lazy, cfg.good_length)
     # sequential-parse equivalent via the match-space walk (Pallas on TPU):
     # runs once per emitted match, not once per position
     is_tok, t_take = lz77.token_marks_batch(length, take, block_len, bl)
+    if stage == "walk":
+        return is_tok, t_take
     t_len = jnp.where(t_take, length, 0)
     t_dist = jnp.where(t_take, dist, 0)
     t_lit = ext[:, HALO:HALO + bl].astype(jnp.int32)
@@ -411,6 +415,8 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
                          preferred_element_type=jnp.float32)
     dfreq_c = dfreq_c.reshape(B, nch, ND).astype(jnp.int32)
 
+    if stage == "freqs":
+        return lfreq_c, dfreq_c
     # ---- adaptive split (entropy DP over chunk histograms) ----
     zl = jnp.zeros((B, 1, NL), jnp.int32)
     zd = jnp.zeros((B, 1, ND), jnp.int32)
@@ -423,6 +429,8 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     else:
         start_f = jnp.zeros((B, nch), jnp.bool_).at[:, 0].set(True)
 
+    if stage == "split":
+        return start_f
     # group-of-chunk, start-chunk-of-group, end-chunk (exclusive) per start
     gs = jax.lax.cummax(jnp.where(start_f, ci[None, :], 0), axis=1)  # (B, nch)
     srt = jnp.where(start_f, ci[None, :], nch)
@@ -443,6 +451,8 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
         lambda lf, df, lv: _block_entropy(lf, df, lv, cfg, fixed_codes)
     )(lfreq_g.reshape(B * nch, NL), dfreq_g.reshape(B * nch, ND),
       live_g.reshape(B * nch))
+    if stage == "entropy":
+        return hdr_lo, hdr_nb, el, er, edl, edr
     hdr_lo = hdr_lo.reshape(B, nch, HDR_ITEMS)
     hdr_nb = hdr_nb.reshape(B, nch, HDR_ITEMS)
 
@@ -492,6 +502,8 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     dcode = de >> 4
     dlen = (de & 15).astype(jnp.int32)
 
+    if stage == "codes":
+        return le, de
     # literal: lcode/llen alone; match: lcode+lextra+dcode+dextra
     m_lo = lcode
     m_hi = jnp.zeros((B, bl), jnp.uint32)
@@ -540,6 +552,8 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
                           jnp.zeros((B, 1), jnp.uint32)], 1)
     nb = jnp.concatenate([ch_nb.reshape(B, nch * CSP), fin_nb[:, None]], 1)
     ntok = jnp.sum(is_tok.astype(jnp.int32))
+    if stage == "items":
+        return lo, hi, nb
 
     # ---- stored-block fallback (compress0 semantics, deflator.c:796-926) ----
     # A stored block costs 3 hdr bits + pad-to-byte + 32 LEN/NLEN bits + 8n,
@@ -613,8 +627,12 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     hi = jnp.where(sel, s_hi_f, hi)
     nb = jnp.where(sel, s_nb_f, nb)
 
+    if stage == "stored":
+        return lo, hi, nb
     words, offs, total = bitpack.pack(
         lo.reshape(-1), hi.reshape(-1), nb.reshape(-1), num_words)
+    if stage == "pack":
+        return words, total
     per_block_bits = jnp.sum(nb, axis=1)
     offs2p = offs.reshape(B, nitemsp)
 
@@ -643,6 +661,8 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
                         axis=2).reshape(B, nch * CS),
         nb[:, -1:]], axis=1)
 
+    if stage == "offsets":
+        return offs2, nbv
     # ---- window anchors for the parallel walk (ops/walk.py) ----
     # The stream is cut on a 32-bit word grid anchored at each group's first
     # symbol bit (& ~31); for every window, record the bit offset of the
@@ -666,21 +686,39 @@ def encode_batch_impl(data: jnp.ndarray, start_block: jnp.ndarray,
     gsc = gs[:, sc_np]                            # (B, nitems) owning start chunk
     org_it = gso[:, sc_np] & ~31
     wid = (offs2 - org_it) >> 5                   # window id within the group
-    bbn = (jnp.arange(B, dtype=jnp.int32) * nch)[:, None]
-    gwin = jnp.zeros(B * nch, jnp.int32).at[
-        (bbn + gsc).reshape(-1)].max(
-        jnp.where(sym_mask, wid + 1, 0).reshape(-1)).reshape(B, nch)
+    # gwin[b, g] = max window id + 1 over the group's sym items. The old
+    # 1.1M-element .at[].max scatter ran ~7 ms (XLA scatter ~0.14 G elem/s);
+    # a structured reduce is near-free: per-chunk max over the virtual
+    # layout (eob slots belong to the PREVIOUS chunk's group, handled by a
+    # shifted fold), then an 8x8 one-hot max folds chunks into groups.
+    wv = jnp.where(sym_mask, wid + 1, 0)                      # (B, nitems)
+    wv3 = wv[:, :nitems - 1].reshape(B, nch, CS)
+    cmax = jnp.max(wv3[:, :, 1:], axis=2)                     # (B, nch)
+    eobv = wv3[:, :, 0]                # chunk c's eob slot -> chunk c-1
+    cmax = cmax.at[:, :-1].set(jnp.maximum(cmax[:, :-1], eobv[:, 1:]))
+    cmax = cmax.at[:, nch - 1].set(
+        jnp.maximum(cmax[:, nch - 1], wv[:, -1]))             # final item
+    own = gs[:, :, None] == ci[None, None, :]                 # (B, c, g)
+    gwin = jnp.max(jnp.where(own, cmax[:, :, None], 0), axis=1)
     gbase = jnp.cumsum(gwin, axis=1) - gwin       # exclusive, per block
     aidx = jnp.take_along_axis(gbase, gsc, axis=1) + wid
     A_BLK = anchors_cap(bl, cfg.chunk)
     BIGA = np.int32(1 << 30)
-    tgt = jnp.where(sym_mask & (aidx >= 0) & (aidx < A_BLK),
-                    jnp.arange(B, dtype=jnp.int32)[:, None] * A_BLK + aidx,
-                    B * A_BLK)
-    wanch = jnp.full(B * A_BLK + 1, BIGA, jnp.int32).at[
-        tgt.reshape(-1)].min(
-        jnp.where(sym_mask, offs2, BIGA).reshape(-1),
-        mode="drop")[:B * A_BLK].reshape(B, A_BLK)
+    # anchor a's value = offs2 of the FIRST sym item in window a. aidx is
+    # non-decreasing along items (offsets ascend; gbase ascends across
+    # groups), so first-in-window items have strictly increasing aidx —
+    # the scatter becomes per-block sorted with at most one update per
+    # target, which XLA lowers far cheaper than the old full-item
+    # min-scatter over every symbol (~15 ms at 1.1M updates).
+    lsa = jax.lax.cummax(jnp.where(sym_mask, aidx, -1), axis=1)
+    lsa_prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), lsa[:, :-1]], axis=1)
+    fw = sym_mask & (aidx > lsa_prev) & (aidx >= 0) & (aidx < A_BLK)
+    tgtb = jnp.where(fw, aidx, A_BLK + 1)          # OOB -> dropped
+    valsb = jnp.where(fw, offs2, BIGA)
+    wanch = jax.vmap(
+        lambda t, v: jnp.full(A_BLK, BIGA, jnp.int32).at[t].min(
+            v, mode="drop", indices_are_sorted=True))(tgtb, valsb)
 
     return (words, total, per_block_bits, jnp.sum(ntok), start_f, hdr_off,
             gwin, wanch, use_stored)
