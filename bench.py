@@ -177,6 +177,102 @@ def _device_times(data: bytes, enc, dec, n: int) -> dict:
     }
 
 
+def _kernel_table(data: bytes, enc, dec) -> dict:
+    """Per-kernel device GB/s table (VERDICT r4 #8): walk, expansion,
+    checksums, and the encoder's stage budget, measured with the
+    distinct-input cycling harness on the real bench batch."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import functools
+    from devtime import measure_cycled
+    from decode_capture import (capture_decode_sets, walk_inputs_from_call,
+                                tok_lm_from_walk)
+    import jax
+    import jax.numpy as jnp
+    from jdeflate_tpu.codec import deflate as De
+    from jdeflate_tpu.codec import levels as levels_mod
+    from jdeflate_tpu.ops import walk as wk
+    from jdeflate_tpu.ops import expand2 as ex2
+    from jdeflate_tpu.ops import checksum as cs
+
+    d2 = bytearray(data)
+    for p in range(100, len(d2), 8192):
+        d2[p] ^= 1
+    calls, enc_calls = capture_decode_sets(enc, dec, [data, bytes(d2)])
+    wis = [walk_inputs_from_call(c) for c in calls]
+    oc = wis[0]["oc"]
+    table = {}
+
+    # decode: walk kernel
+    wsets = [(w["seg0"], w["seg1"], w["seg2"], w["start_rel"], w["t1r"],
+              w["t2ar"], w["t2br"], w["t2cr"]) for w in wis]
+    nrows = wis[0]["nrows"]
+
+    def s_walk(s0, s1, s2, sr, a, b, c, d):
+        return wk.walk_tpu(s0, s1, s2, sr, a, b, c, d, nrows)
+    t = measure_cycled(wsets, s_walk, iters=4)
+    table["decode_walk"] = {"ms": round(t * 1e3, 3),
+                            "GBps": round(oc / t / 1e9, 3)}
+
+    # decode: expansion engine (default v3 + v5 pipeline)
+    esets = []
+    for w in wis:
+        tok_lm, outlen = tok_lm_from_walk(w)
+        esets.append((tok_lm, outlen, w["win"]))
+
+    def s_ex2(tok_lm, outlen, halo):
+        ta = wk.annotate_lit_runs(tok_lm)
+        return ex2.expand_tokens(ta, outlen, halo, oc)
+    t = measure_cycled(esets, s_ex2, iters=4)
+    table["decode_expand_v3"] = {"ms": round(t * 1e3, 3),
+                                 "GBps": round(oc / t / 1e9, 3)}
+    try:
+        from jdeflate_tpu.ops import expand5 as ex5
+
+        def s_ex5(tok_lm, outlen, halo):
+            return ex5.expand_tokens(tok_lm, outlen, halo, oc)
+        t = measure_cycled(esets, s_ex5, iters=4)
+        table["decode_expand_v5"] = {"ms": round(t * 1e3, 3),
+                                     "GBps": round(oc / t / 1e9, 3)}
+    except Exception as e:
+        table["decode_expand_v5"] = {"error": repr(e)[:120]}
+
+    # checksums (device), 8 MB input
+    n = len(data)
+    carr = [jnp.asarray(np.frombuffer(data, np.uint8)),
+            jnp.asarray(np.frombuffer(bytes(d2), np.uint8))]
+    for name, fn in [("crc32", lambda a: cs._crc32_device(
+            a, jnp.uint32(0), jnp.uint32(n))),
+            ("adler32", lambda a: cs._adler32_device(
+            a, jnp.uint32(1), jnp.uint32(n)))]:
+        try:
+            t = measure_cycled([(carr[0],), (carr[1],)], fn, iters=4)
+            table[name] = {"ms": round(t * 1e3, 3),
+                           "GBps": round(n / t / 1e9, 3)}
+        except Exception as e:
+            table[name] = {"error": repr(e)[:120]}
+
+    # encoder stage budget (one batch segment; cumulative taps)
+    if enc_calls[0] is not None:
+        bl, batch, level, nw, fixed = enc.call_statics
+        seg = bl * batch
+        prev = 0.0
+        for st in ["match", "walk", "entropy", "stored", "pack", ""]:
+            fn = jax.jit(functools.partial(
+                De.encode_batch_impl, bl=bl, batch=batch, level=level,
+                num_words=nw, fixed_codes=fixed, stage=st))
+            try:
+                t = measure_cycled(enc_calls, fn, iters=3)
+            except Exception as e:
+                table["encode_" + (st or "full")] = {"error": repr(e)[:120]}
+                continue
+            table["encode_" + (st or "full")] = {
+                "ms": round(t * 1e3, 3),
+                "delta_ms": round((t - prev) * 1e3, 3),
+                "GBps": round(seg / t / 1e9, 4)}
+            prev = t
+    return table
+
+
 def main():
     # persistent compile cache speeds later rounds
     cache = os.path.join(REPO, ".jax_cache")
@@ -209,6 +305,13 @@ def main():
     # 3x on identical code); best-of-3 both tightens and reproduces
     enc_s = dec_s = float("inf")
     raw = index = out = None
+    # BENCH_PROFILE=1 captures a jax.profiler trace of one timed pass
+    # (VERDICT r4 #8: profiler-grade observability) into .profile/
+    prof_ctx = None
+    if os.environ.get("BENCH_PROFILE") == "1":
+        prof_dir = os.path.join(REPO, ".profile")
+        jax.profiler.start_trace(prof_dir)
+        prof_ctx = prof_dir
     for _ in range(3):
         t0 = time.perf_counter()
         raw, index = enc.compress(data)
@@ -216,6 +319,9 @@ def main():
         t0 = time.perf_counter()
         out = dec.decompress(raw, index=index)
         dec_s = min(dec_s, time.perf_counter() - t0)
+        if prof_ctx:
+            jax.profiler.stop_trace()
+            prof_ctx = None
 
     ok = out == data
 
@@ -240,6 +346,11 @@ def main():
             details.update(_device_times(data, enc, dec, n))
         except Exception as e:
             details["device_time_error"] = repr(e)
+        try:
+            # per-kernel GB/s table (VERDICT r4 #8)
+            details["kernel_table"] = _kernel_table(data, enc, dec)
+        except Exception as e:
+            details["kernel_table"] = {"error": repr(e)}
         try:
             # tunnel transfer rates + wall accounting (VERDICT r3 ask #3:
             # wall vs device + transfer, both printed)
@@ -347,6 +458,37 @@ def main():
                 "wall_s": time.perf_counter() - t0}
         except Exception as e:
             configs["framed_zstrm"] = {"error": repr(e)}
+        try:
+            # foreign-stream decode (VERDICT r4 #5): a zlib-produced stream
+            # through build_index (native sequential pass) + the anchored
+            # device path — the conformance story's throughput, measured.
+            import zlib as _z2
+            df = data[: 4 << 20]
+            co = _z2.compressobj(6, _z2.DEFLATED, -15)
+            fraw = co.compress(df) + co.flush()
+            t0 = time.perf_counter()
+            fidx = dec.build_index(fraw)
+            idx_s = time.perf_counter() - t0
+            outf = dec.decompress(fraw, index=fidx)     # warm/compile
+            okf = outf == df
+            t0 = time.perf_counter()
+            outf = dec.decompress(fraw, index=fidx)
+            dec_f = time.perf_counter() - t0
+            kinds = [k for k, _, e in dec.last_stats]
+            errs = sum(e for _, _, e in dec.last_stats)
+            configs["foreign_zlib"] = {
+                "bytes": len(df), "compressed": len(fraw),
+                "roundtrip": okf and outf == df,
+                "index_s": round(idx_s, 4),
+                "index_GBps": round(len(df) / idx_s / 1e9, 4),
+                "decode_s": round(dec_f, 4),
+                "decode_GBps": round(len(df) / dec_f / 1e9, 4),
+                "end_to_end_GBps": round(len(df) / (idx_s + dec_f) / 1e9, 4),
+                "device_dispatches": kinds.count("win"),
+                "dispatch_errs": int(errs),
+            }
+        except Exception as e:
+            configs["foreign_zlib"] = {"error": repr(e)}
         try:
             # configs[4] proxy: sharded members scaling on an 8-virtual-device
             # CPU mesh (subprocess; this host has 2 cores, so wall-clock

@@ -22,18 +22,26 @@ print("worker: connecting...", flush=True)
 t0 = time.time()
 print("worker: devices", jax.devices(), time.time() - t0, flush=True)
 
-seen = set(p for p in glob.glob(os.path.join(JOBS, "*.py"))
-           if os.path.exists(p + ".out"))
 while True:
     for path in sorted(glob.glob(os.path.join(JOBS, "*.py"))):
-        if path in seen:
-            continue
-        seen.add(path)
         out_path = path + ".out"
+        # run any job whose .out is missing or older than the .py —
+        # deleting a job's .out (or editing the job) queues a rerun
+        if os.path.exists(out_path) and \
+                os.path.getmtime(out_path) >= os.path.getmtime(path):
+            continue
         print("worker: running", path, flush=True)
         buf = io.StringIO()
         t0 = time.time()
         try:
+            # drop cached library modules so jobs always see current code
+            # (edits between jobs were silently invisible before; r4 gotcha
+            # #8). jax compile cache (.jax_cache) absorbs the re-traces.
+            import sys as _sys
+            for name in [m for m in _sys.modules
+                         if m.startswith(("jdeflate_tpu", "bench",
+                                          "devtime", "truetime"))]:
+                del _sys.modules[name]
             src = open(path).read()
             with contextlib.redirect_stdout(buf):
                 exec(compile(src, path, "exec"), {"__name__": "__job__"})
