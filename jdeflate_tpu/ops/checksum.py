@@ -208,19 +208,31 @@ def adler32(data, init: int = 1) -> int:
 _CRC_CHUNK = 256  # bytes per chunk -> 32 slice-by-8 scan steps
 
 
-def _crc_update_8(state: jnp.ndarray, w0: jnp.ndarray, w1: jnp.ndarray,
-                  tabs: jnp.ndarray) -> jnp.ndarray:
-    """Slice-by-8 step: consume 8 bytes given as two little-endian u32 words."""
-    x = state ^ w0
-    r = tabs[7][(x & 0xFF).astype(jnp.int32)]
-    r = r ^ tabs[6][((x >> 8) & 0xFF).astype(jnp.int32)]
-    r = r ^ tabs[5][((x >> 16) & 0xFF).astype(jnp.int32)]
-    r = r ^ tabs[4][((x >> 24) & 0xFF).astype(jnp.int32)]
-    r = r ^ tabs[3][(w1 & 0xFF).astype(jnp.int32)]
-    r = r ^ tabs[2][((w1 >> 8) & 0xFF).astype(jnp.int32)]
-    r = r ^ tabs[1][((w1 >> 16) & 0xFF).astype(jnp.int32)]
-    r = r ^ tabs[0][((w1 >> 24) & 0xFF).astype(jnp.int32)]
-    return r
+@functools.lru_cache(maxsize=None)
+def _bitlinear_consts(c: int) -> np.ndarray:
+    """(c//4, 32) u32: contribution of each bit of each little-endian u32
+    word of a c-byte chunk to the chunk's raw CRC.
+
+    raw() is GF(2)-linear in the message bits: a byte v at position p
+    contributes M_{c-1-p} . T0[v], and T0[v] = XOR_j bit_j(v) T0[1<<j],
+    so K_byte[p, j] = M_{c-1-p} . T0[1 << j]. Built by repeated
+    one-zero-byte advances from the last position.
+    """
+    t0 = _crc_tables()[0]
+    m8 = np.array(_shift_matrix_pow2(0), dtype=np.uint32)
+    jj = np.arange(32, dtype=np.uint32)
+    kb = np.zeros((c, 8), np.uint32)
+    cur = t0[1 << np.arange(8)].astype(np.uint32)        # position c-1
+    for p in range(c - 1, -1, -1):
+        kb[p] = cur
+        bits = (cur[:, None] >> jj) & 1                  # (8, 32)
+        cur = np.bitwise_xor.reduce(
+            np.where(bits.astype(bool), m8[None, :], 0), axis=1)
+    # word w bit j -> byte 4w + (j >> 3), bit j & 7
+    kw = np.zeros((c // 4, 32), np.uint32)
+    for j in range(32):
+        kw[:, j] = kb[(np.arange(c // 4) * 4) + (j >> 3), j & 7]
+    return kw
 
 
 def _apply_matrix_device(m: jnp.ndarray, crc: jnp.ndarray) -> jnp.ndarray:
@@ -256,17 +268,20 @@ def _crc32_device(data: jnp.ndarray, init: jnp.ndarray, n: jnp.ndarray) -> jnp.n
     recurrence with zero initial state)."""
     c = _CRC_CHUNK
     nchunks = data.shape[0] // c
-    tabs = jnp.asarray(_crc_tables())
     # view chunks as little-endian u32 words: (nchunks, c//4)
     words = jax.lax.bitcast_convert_type(
         data.reshape(nchunks, c // 4, 4), jnp.uint32).reshape(nchunks, c // 4)
 
-    def step(state, ws):
-        w0, w1 = ws
-        return _crc_update_8(state, w0, w1, tabs), None
-
-    w_pairs = (words[:, 0::2].T, words[:, 1::2].T)  # (steps, nchunks)
-    raw, _ = jax.lax.scan(step, jnp.zeros(nchunks, jnp.uint32), w_pairs)
+    # bit-linear raw CRC: XOR of per-bit constants selected by data bits —
+    # gather-free (the slice-by-8 scan did one 256-entry table gather per
+    # byte; 8 MB cost 72 ms at XLA-gather throughput. This runs as 32
+    # fused select+XOR-reduce passes on the VPU.)
+    K = jnp.asarray(_bitlinear_consts(c))                # (c//4, 32)
+    raw = jnp.zeros((nchunks,), jnp.uint32)
+    for j in range(32):
+        sel = jnp.where((words >> j) & 1 == 1, K[None, :, j], jnp.uint32(0))
+        raw = raw ^ jax.lax.reduce(sel, np.uint32(0),
+                                   jax.lax.bitwise_xor, (1,))
     # log-depth tree combine: raw(A||B) = M_{len B} raw(A) ^ raw(B)
     level_bytes = c
     while raw.shape[0] > 1:
