@@ -45,7 +45,6 @@ from ..formats import constants as C
 from . import walk as wk
 
 HALO = C.WINDOW_SIZE                  # 32768
-S_CAP = 8          # seed fast-pass slot slice; spill pass covers the rest
 STEP = 2048        # resolve step bytes (16 output rows)
 V_VALID = np.int32(1 << 25)
 V_LIT = np.int32(1 << 24)
